@@ -1,0 +1,331 @@
+"""MolKGNN: chirality-aware molecular kernel convolutions, TPU-native.
+
+This is a from-scratch JAX re-design of the reference's core contribution
+(/root/reference/models/MolKGNN/kernels.py, KernelLayer.py, MolKGNNNet.py).
+The numerical contract is identical (verified against an independent numpy
+spec in tests/test_kgnn_spec.py); the computation is reorganized for the MXU:
+
+  * All permutations are scored densely in ONE matmul per degree
+    ([M, d*F] x [d*F, L*P]) instead of a Python loop over permutations
+    (reference kernels.py:230-252). Cosine similarity == dot product of
+    row-normalized operands.
+  * The best-permutation gather only ever touches scalars (scores and
+    precomputed support determinants), never the [L, P, d, F] tensors
+    (replaces kernels.py:197-225, 382-390).
+  * The chirality sign (kernels.py:279-350, a per-node-per-kernel Python
+    loop and device sync point in the reference) is fully vectorized:
+    pairwise-distinct mask over the 6 neighbor pairs + sign comparison of
+    signed tetrahedral volumes, where the kernel-side volume is precomputed
+    per (kernel, permutation) once per forward.
+  * Per-degree score blocks are scatter-added straight into node order,
+    eliminating the reference's concat/argsort/transpose epilogue
+    (kernels.py:674-747); padded bucket rows are masked to zero, which
+    reproduces the reference's implicit "degree 0 or >4 => zero scores".
+
+Scores are [nodes, kernels] throughout (the reference carries [kernels,
+nodes] and transposes at the end).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+import numpy as np
+
+from molkgnn_tpu.graphs.batch import DegreeBucket, GraphBatch
+from molkgnn_tpu.models.common import TorchLinear, swish
+from molkgnn_tpu.ops.norm import MaskedBatchNorm
+from molkgnn_tpu.ops.permutations import perm_table
+from molkgnn_tpu.ops.segment import gather_scatter_add, global_add_pool
+from molkgnn_tpu.ops.similarity import (
+    cosine_matrix,
+    neighborhood_similarity,
+)
+
+
+def _randn(key, shape, dtype=jnp.float32):
+    import jax.random as jrandom
+
+    return jrandom.normal(key, shape, dtype)
+
+
+class KernelConv(nn.Module):
+    """Score degree-``deg`` neighborhoods against ``num_kernels`` learnable
+    molecular kernels (reference KernelConv, kernels.py:9-448).
+
+    Each kernel holds a center-atom feature vector, ``deg`` support-atom
+    feature vectors, ``deg`` bond feature vectors, and ``deg`` 3D support
+    positions. A neighborhood is scored by the best alignment (over the
+    allowed support permutations) of a softmax-weighted sum of three cosine
+    scores (support attrs, center attrs, bond attrs); for degree 4 in the
+    last layer the score is multiplied by a chirality sign.
+    """
+
+    deg: int
+    num_kernels: int
+    node_dim: int
+    edge_dim: int
+    pos_dim: int = 3
+    init_sc_weight: float = 0.2
+
+    @nn.compact
+    def __call__(
+        self,
+        x_focal: jnp.ndarray,  # [M, F]
+        p_focal: jnp.ndarray,  # [M, 3]
+        x_nei: jnp.ndarray,  # [M, d, F]
+        p_nei: jnp.ndarray,  # [M, d, 3]
+        e_nei: jnp.ndarray,  # [M, d, Fe]
+        mask: jnp.ndarray,  # [M] bool
+        is_last_layer: bool = False,
+    ) -> jnp.ndarray:  # [M, L]
+        d, L = self.deg, self.num_kernels
+        x_center = self.param("x_center", _randn, (L, self.node_dim))
+        x_support = self.param("x_support", _randn, (L, d, self.node_dim))
+        edge_attr_support = self.param(
+            "edge_attr_support", _randn, (L, d, self.edge_dim)
+        )
+        p_support = self.param("p_support", _randn, (L, d, self.pos_dim))
+        # length/angle weights exist in reference checkpoints but never enter
+        # the score (kernels.py:72-75; see SURVEY §2.1 note) — kept for
+        # checkpoint-shape parity.
+        w_init = lambda k, s, dt=jnp.float32: jnp.full(s, self.init_sc_weight, dt)
+        self.param("length_sc_weight", w_init, ())
+        self.param("angle_sc_weight", w_init, ())
+        w_center = self.param("center_attr_sc_weight", w_init, ())
+        w_support = self.param("support_attr_sc_weight", w_init, ())
+        w_edge = self.param("edge_attr_support_sc_weight", w_init, ())
+
+        perms = perm_table(d)  # [P, d] static
+
+        # --- support-attribute score over all permutations (one matmul) ---
+        xs_perm = x_support[:, perms, :]  # [L, P, d, F]
+        support_sc = neighborhood_similarity(x_nei, xs_perm)  # [M, L, P]
+        best_sc = jnp.max(support_sc, axis=2)  # [M, L]
+        best_idx = jnp.argmax(support_sc, axis=2)  # [M, L]
+
+        # --- edge-attribute score at the best alignment ---
+        es_perm = edge_attr_support[:, perms, :]  # [L, P, d, Fe]
+        edge_sc_all = neighborhood_similarity(e_nei, es_perm)  # [M, L, P]
+        edge_sc = jnp.take_along_axis(
+            edge_sc_all, best_idx[:, :, None], axis=2
+        )[:, :, 0]
+
+        # --- center-attribute score ---
+        center_sc = cosine_matrix(x_focal, x_center)  # [M, L]
+
+        # --- softmax-normalized score weights (kernels.py:402-422) ---
+        ew = jnp.stack([jnp.exp(w_support), jnp.exp(w_center), jnp.exp(w_edge)])
+        ws = ew / jnp.sum(ew)
+        sc = best_sc * ws[0] + center_sc * ws[1] + edge_sc * ws[2]
+
+        # --- chirality sign (deg 4, last layer only; kernels.py:279-350,
+        #     396-400 + KernelLayer.py:113-117) ---
+        if d == 4 and is_last_layer:
+            sc = sc * self._chirality_sign(
+                x_nei, p_nei - p_focal[:, None, :], p_support, perms, best_idx
+            )
+
+        return jnp.where(mask[:, None], sc, 0.0)
+
+    @staticmethod
+    def _chirality_sign(
+        x_nei: jnp.ndarray,  # [M, 4, F]
+        p_nei_c: jnp.ndarray,  # [M, 4, 3] centered at focal
+        p_support: jnp.ndarray,  # [L, 4, 3]
+        perms: np.ndarray,  # [12, 4]
+        best_idx: jnp.ndarray,  # [M, L]
+    ) -> jnp.ndarray:  # [M, L] in {+1, -1}
+        """Signed-tetrahedral-volume chirality comparison (BCL::EMAS).
+
+        If any two of the four neighbor feature vectors are identical the
+        neighborhood is achiral => +1 for all kernels. Otherwise compare the
+        sign of det[t1, t2, t3] of the neighborhood against that of the
+        best-aligned kernel supports; mismatch flips the score.
+        """
+        # Neighborhood volume: rows 0,1,2 of the centered positions.
+        det_nei = jnp.einsum(
+            "mi,mi->m",
+            p_nei_c[:, 2],
+            jnp.cross(p_nei_c[:, 0], p_nei_c[:, 1]),
+        )
+        # Kernel volume per permutation: rows perms[p, 0..2] of p_support.
+        s = p_support[:, perms, :]  # [L, P, 4, 3]
+        det_sup = jnp.einsum(
+            "lpi,lpi->lp", s[:, :, 2], jnp.cross(s[:, :, 0], s[:, :, 1])
+        )  # [L, P]
+        num_kernels = det_sup.shape[0]
+        det_sup_best = det_sup[
+            jnp.arange(num_kernels)[None, :], best_idx
+        ]  # [M, L] -- det_sup[l, best_idx[m, l]]
+
+        sign_match = jnp.sign(det_nei)[:, None] == jnp.sign(det_sup_best)
+
+        # Pairwise-distinct test over the 6 neighbor pairs (exact equality,
+        # matching torch.equal at kernels.py:310-317).
+        pairs = [(i, j) for i in range(4) for j in range(i + 1, 4)]
+        any_equal = jnp.zeros(x_nei.shape[0], dtype=bool)
+        for i, j in pairs:
+            eq = jnp.all(x_nei[:, i, :] == x_nei[:, j, :], axis=-1)
+            any_equal = any_equal | eq
+
+        sign = jnp.where(
+            any_equal[:, None], 1.0, jnp.where(sign_match, 1.0, -1.0)
+        )
+        return sign
+
+
+class KernelSetConv(nn.Module):
+    """Four per-degree KernelConvs assembled into node-order scores
+    (reference BaseKernelSetConv/KernelSetConv, kernels.py:451-781).
+
+    Output [N, L1+L2+L3+L4]: node n's row holds its degree-d kernel scores in
+    that degree's column block and zeros elsewhere (degree-0 / degree>4 nodes
+    are all-zero).
+    """
+
+    num_kernels: Tuple[int, int, int, int]
+    node_dim: int
+    edge_dim: int
+    pos_dim: int = 3
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,  # [N, F] current node features
+        p: jnp.ndarray,  # [N, 3]
+        buckets: Sequence[DegreeBucket],
+        is_last_layer: bool = False,
+    ) -> jnp.ndarray:
+        n = x.shape[0]
+        blocks = []
+        for d in range(1, 5):
+            b = buckets[d - 1]
+            conv = KernelConv(
+                deg=d,
+                num_kernels=self.num_kernels[d - 1],
+                node_dim=self.node_dim,
+                edge_dim=self.edge_dim,
+                pos_dim=self.pos_dim,
+                name=f"kernelconv{d}",
+            )
+            sc = conv(
+                x_focal=x[b.focal_index],
+                p_focal=p[b.focal_index],
+                x_nei=x[b.nei_index],
+                p_nei=p[b.nei_index],
+                e_nei=b.nei_edge_attr,
+                mask=b.mask,
+                is_last_layer=is_last_layer,
+            )  # [M_d, L_d], zero on padded rows
+            # Scatter-add into node order; padded rows target node 0 with
+            # zero contribution, so .add is exact.
+            block = jnp.zeros((n, self.num_kernels[d - 1]), sc.dtype)
+            blocks.append(block.at[b.focal_index].add(sc))
+        return jnp.concatenate(blocks, axis=1)
+
+
+class MolGCN(nn.Module):
+    """Stack of KernelSetConv layers + sum-aggregation message passing
+    (reference MolGCN, KernelLayer.py:8-123).
+
+    Layer 0 consumes raw node features; layers 1..L-1 consume the previous
+    layer's aggregated kernel-score vector (dimension = sum of previous
+    layer's kernel counts). After scoring, each node receives the sum of its
+    neighbors' score vectors (h_i = sum_{j in N(i)} sc_j).
+    """
+
+    num_layers: int
+    kernels_1hop: Tuple[int, int, int, int]
+    kernels_nhop: Tuple[int, int, int, int]
+    node_dim: int
+    edge_dim: int
+    pos_dim: int = 3
+
+    @nn.compact
+    def __call__(self, batch: GraphBatch, x: jnp.ndarray) -> jnp.ndarray:
+        h = x
+        in_dim = self.node_dim
+        for i in range(self.num_layers):
+            counts = self.kernels_1hop if i == 0 else self.kernels_nhop
+            layer = KernelSetConv(
+                num_kernels=counts,
+                node_dim=in_dim,
+                edge_dim=self.edge_dim,
+                pos_dim=self.pos_dim,
+                name=f"layer{i}",
+            )
+            sc = layer(
+                h,
+                batch.p,
+                batch.buckets(),
+                is_last_layer=(i == self.num_layers - 1),
+            )
+            h = gather_scatter_add(
+                sc,
+                batch.edge_src,
+                batch.edge_dst,
+                num_nodes=sc.shape[0],
+                edge_mask=batch.edge_mask,
+            )
+            in_dim = sum(counts)
+        return h
+
+
+class MolKGNNNet(nn.Module):
+    """Full MolKGNN graph encoder (reference MolKGNNNet, MolKGNNNet.py:10-149).
+
+    BatchNorm on node features -> MolGCN -> per-node MLP (lin1/swish/dropout/
+    lin2) -> global add pool => [B, graph_embedding_dim].
+
+    Reference quirk preserved: an edge-feature BatchNorm exists and updates
+    its statistics, but its *output is never used* — kernel edge scores always
+    see the raw bond features because the per-degree ``nei_edge_attr`` tensors
+    are precomputed before normalization (MolKGNNNet.py:115-116 normalizes
+    ``edge_attr``, but KernelSetConv reads ``nei_edge_attr_deg*``,
+    kernels.py:634-637). We keep the module for checkpoint parity.
+    """
+
+    num_layers: int = 4
+    kernels_1hop: Tuple[int, int, int, int] = (10, 20, 30, 50)
+    kernels_nhop: Tuple[int, int, int, int] = (10, 20, 30, 50)
+    node_dim: int = 28
+    edge_dim: int = 7
+    pos_dim: int = 3
+    graph_embedding_dim: int = 32
+    drop_ratio: float = 0.0
+
+    @nn.compact
+    def __call__(
+        self, batch: GraphBatch, train: bool = False
+    ) -> jnp.ndarray:
+        x = MaskedBatchNorm(self.node_dim, name="node_batch_norm")(
+            batch.x, mask=batch.node_mask, use_running_average=not train
+        )
+        # Dead-path edge BN: stats update only (see class docstring).
+        MaskedBatchNorm(self.edge_dim, name="edge_batch_norm")(
+            batch.edge_attr, mask=batch.edge_mask, use_running_average=not train
+        )
+
+        h = MolGCN(
+            num_layers=self.num_layers,
+            kernels_1hop=self.kernels_1hop,
+            kernels_nhop=self.kernels_nhop,
+            node_dim=self.node_dim,
+            edge_dim=self.edge_dim,
+            pos_dim=self.pos_dim,
+            name="gnn",
+        )(batch, x)
+
+        h = TorchLinear(self.graph_embedding_dim, name="graph_embedding_lin1")(h)
+        h = swish(h)
+        h = nn.Dropout(rate=self.drop_ratio, deterministic=not train)(h)
+        h = TorchLinear(self.graph_embedding_dim, name="graph_embedding_lin2")(h)
+        return global_add_pool(
+            h,
+            batch.node_graph_id,
+            num_graphs=batch.num_graphs,
+            node_mask=batch.node_mask,
+        )
