@@ -1,0 +1,343 @@
+"""Training harness: jitted train/eval steps, epoch loop, checkpoints.
+
+Replaces the reference's PyTorch-Lightning wiring (/root/reference/entry.py
+:185-314, model.py:176-358) with an explicit JAX loop:
+
+  * one compiled train step (forward + backward + AdamW + schedule) over
+    fixed-shape GraphBatches — recompiles only if the BatchSpec changes;
+  * validation each epoch on the valid split (plus optionally the train split
+    in eval mode, the reference's ``--train_metric`` dual-loader quirk,
+    data.py:191-214 / model.py:221-296, reported with a ``_no_dropout``
+    suffix);
+  * best-checkpoint tracking per monitored metric (the reference's four
+    ModelCheckpoints: best logAUC_0.001_0.1, best AUC, best/min loss, last —
+    entry.py:187-237) via orbax;
+  * test procedure that evaluates last + each best checkpoint and writes
+    ``test_result.log`` / ``test_sample_scores.log`` compatible records
+    (entry.py:156-182, model.py:344-349).
+
+Data parallelism: when constructed with a ``jax.sharding.Mesh``, steps are
+jitted with batch-dim shardings over the mesh's 'data' axis (see
+parallel/data_parallel.py); gradients all-reduce via XLA collectives.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import time
+from typing import Any, Callable, Dict, List, Optional
+
+import flax
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from molkgnn_tpu.data.dataset import Dataset, GraphLoader
+from molkgnn_tpu.graphs.batch import BatchSpec, GraphBatch
+from molkgnn_tpu.training.metrics import compute_metrics
+from molkgnn_tpu.training.model import GNNModel, LOSSES
+from molkgnn_tpu.training.optim import make_optimizer
+from molkgnn_tpu.training.schedule import polynomial_warmup_decay
+
+
+@flax.struct.dataclass
+class TrainState:
+    step: jax.Array
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    rng: jax.Array
+
+
+@dataclasses.dataclass
+class TrainConfig:
+    batch_size: int = 16
+    max_epochs: int = 20
+    peak_lr: float = 5e-3
+    end_lr: float = 1e-10
+    warmup_iterations: int = 300
+    weight_decay: float = 1e-3
+    seed: int = 42
+    oversample: bool = True
+    train_metric: bool = False
+    monitors: tuple = ("logAUC_0.001_0.1", "AUC", "loss")
+    log_dir: str = "logs"
+    checkpoint_dir: Optional[str] = None
+    tot_iterations: Optional[int] = None  # derived like entry.py:97-101
+    progress: bool = True
+
+    def resolve_tot_iterations(self, num_train: int) -> int:
+        if self.tot_iterations is not None:
+            return self.tot_iterations
+        # ceil(train/batch)*max_epochs + 2 (entry.py:97-101)
+        per_epoch = -(-num_train // self.batch_size)
+        return per_epoch * self.max_epochs + 2
+
+
+class Trainer:
+    def __init__(
+        self,
+        model: GNNModel,
+        dataset: Dataset,
+        spec: BatchSpec,
+        config: TrainConfig,
+        mesh: Optional[jax.sharding.Mesh] = None,
+    ):
+        self.model = model
+        self.dataset = dataset
+        self.spec = spec
+        self.config = config
+        self.mesh = mesh
+        self.loss_fn = LOSSES[dataset.loss_name]
+        self.history: List[Dict[str, float]] = []
+        self.best: Dict[str, float] = {}
+        self._ckpts: Dict[str, Any] = {}
+
+        n_train = len(dataset.split["train"])
+        tot = config.resolve_tot_iterations(n_train)
+        self.schedule = polynomial_warmup_decay(
+            peak_lr=config.peak_lr,
+            end_lr=config.end_lr,
+            warmup_iterations=config.warmup_iterations,
+            tot_iterations=tot,
+        )
+
+        # --- init ---
+        rng = jax.random.key(config.seed)
+        init_rng, state_rng = jax.random.split(rng)
+        dummy = next(
+            iter(
+                GraphLoader(
+                    dataset.subset("train")[: config.batch_size],
+                    spec,
+                    config.batch_size,
+                )
+            )
+        )
+        variables = model.init(init_rng, dummy, train=False)
+        params = variables["params"]
+        batch_stats = variables.get("batch_stats", {})
+        self.tx = make_optimizer(
+            params, self.schedule, weight_decay=config.weight_decay
+        )
+        self.state = TrainState(
+            step=jnp.asarray(0, jnp.int32),
+            params=params,
+            batch_stats=batch_stats,
+            opt_state=self.tx.init(params),
+            rng=state_rng,
+        )
+        self._train_step = self._build_train_step()
+        self._eval_step = self._build_eval_step()
+
+    # ------------------------------------------------------------------
+    def _build_train_step(self) -> Callable:
+        model, tx, loss_fn = self.model, self.tx, self.loss_fn
+
+        def train_step(
+            state: TrainState, batch: GraphBatch, axis_name: str | None = None
+        ):
+            dropout_rng = jax.random.fold_in(state.rng, state.step)
+
+            def losses(params):
+                (pred, _), updates = model.apply(
+                    {"params": params, "batch_stats": state.batch_stats},
+                    batch,
+                    train=True,
+                    rngs={"dropout": dropout_rng},
+                    mutable=["batch_stats"],
+                )
+                return loss_fn(pred, batch.y, batch.graph_mask), updates
+
+            (loss, updates), grads = jax.value_and_grad(
+                losses, has_aux=True
+            )(state.params)
+            if axis_name is not None:
+                # DP sync: average grads and batch stats across replicas so
+                # every chip applies the identical update (ICI all-reduce).
+                grads = jax.lax.pmean(grads, axis_name)
+                updates = jax.lax.pmean(updates, axis_name)
+            up, opt_state = tx.update(grads, state.opt_state, state.params)
+            params = optax.apply_updates(state.params, up)
+            new_state = state.replace(
+                step=state.step + 1,
+                params=params,
+                batch_stats=updates["batch_stats"],
+                opt_state=opt_state,
+            )
+            return new_state, loss
+
+        if self.mesh is not None:
+            from molkgnn_tpu.parallel.data_parallel import shard_train_step
+
+            return shard_train_step(train_step, self.mesh)
+        return jax.jit(train_step, donate_argnums=(0,))
+
+    def _build_eval_step(self) -> Callable:
+        model = self.model
+
+        def eval_step(params, batch_stats, batch: GraphBatch):
+            pred, _ = model.apply(
+                {"params": params, "batch_stats": batch_stats},
+                batch,
+                train=False,
+            )
+            return pred
+
+        return jax.jit(eval_step)
+
+    # ------------------------------------------------------------------
+    def _predict(self, graphs) -> tuple[np.ndarray, np.ndarray]:
+        loader = GraphLoader(
+            graphs, self.spec, self.config.batch_size, shuffle=False
+        )
+        preds, trues = [], []
+        for batch in loader:
+            p = np.asarray(
+                self._eval_step(self.state.params, self.state.batch_stats, batch)
+            )
+            m = np.asarray(batch.graph_mask)
+            preds.append(p[m])
+            trues.append(np.asarray(batch.y)[m])
+        return np.concatenate(trues), np.concatenate(preds)
+
+    def evaluate(self, part: str = "valid") -> Dict[str, float]:
+        true_y, pred_y = self._predict(self.dataset.subset(part))
+        results = compute_metrics(self.dataset.metrics, true_y, pred_y)
+        # loss on device formula, host-evaluated
+        results["loss"] = float(
+            self.loss_fn(
+                jnp.asarray(pred_y),
+                jnp.asarray(true_y),
+                jnp.ones_like(jnp.asarray(pred_y)),
+            )
+        )
+        return results
+
+    # ------------------------------------------------------------------
+    def fit(self) -> List[Dict[str, float]]:
+        cfg = self.config
+        train_graphs = self.dataset.subset("train")
+        loader = GraphLoader(
+            train_graphs,
+            self.spec,
+            cfg.batch_size,
+            shuffle=not cfg.oversample,
+            oversample=cfg.oversample,
+            seed=cfg.seed,
+        )
+        os.makedirs(cfg.log_dir, exist_ok=True)
+        ndev = int(np.prod(list(self.mesh.shape.values()))) if self.mesh else 1
+        for epoch in range(cfg.max_epochs):
+            t0 = time.time()
+            losses = []
+            if ndev == 1:
+                for batch in loader:
+                    self.state, loss = self._train_step(self.state, batch)
+                    losses.append(loss)
+            else:
+                # DP: group ndev sub-batches per step; the trailing partial
+                # group is dropped (oversampling resamples every epoch, so
+                # no molecule is systematically skipped).
+                from molkgnn_tpu.parallel.data_parallel import stack_shards
+
+                group = []
+                for batch in loader:
+                    group.append(batch)
+                    if len(group) == ndev:
+                        self.state, loss = self._train_step(
+                            self.state, stack_shards(group)
+                        )
+                        losses.append(loss)
+                        group = []
+            train_loss = float(np.mean([np.asarray(l) for l in losses]))
+
+            results = self.evaluate("valid")
+            if cfg.train_metric:
+                for k, v in self.evaluate("train").items():
+                    results[f"{k}_no_dropout"] = v
+            results["train_loss"] = train_loss
+            results["epoch"] = epoch
+            results["epoch_time_s"] = time.time() - t0
+            self.history.append(results)
+            self._update_checkpoints(results)
+            if cfg.progress:
+                shown = {
+                    k: round(v, 4)
+                    for k, v in results.items()
+                    if isinstance(v, float)
+                }
+                print(f"epoch {epoch}: {shown}", flush=True)
+        self._save_checkpoint("last")
+        with open(os.path.join(cfg.log_dir, "history.json"), "w") as f:
+            json.dump(self.history, f, indent=1)
+        return self.history
+
+    # ------------------------------------------------------------------
+    def _update_checkpoints(self, results: Dict[str, float]):
+        for monitor in self.config.monitors:
+            if monitor not in results:
+                continue
+            value = results[monitor]
+            better = (
+                value < self.best.get(monitor, np.inf)
+                if monitor == "loss"
+                else value > self.best.get(monitor, -np.inf)
+            )
+            if better:
+                self.best[monitor] = value
+                self._save_checkpoint(f"best_{monitor}")
+
+    def _save_checkpoint(self, tag: str):
+        payload = {
+            "step": self.state.step,
+            "params": self.state.params,
+            "batch_stats": self.state.batch_stats,
+        }
+        self._ckpts[tag] = jax.tree.map(np.asarray, payload)
+        if self.config.checkpoint_dir:
+            from molkgnn_tpu.training.checkpoint import save_checkpoint
+
+            save_checkpoint(
+                os.path.join(self.config.checkpoint_dir, tag), payload
+            )
+
+    def load_checkpoint_tag(self, tag: str):
+        ck = self._ckpts[tag]
+        self.state = self.state.replace(
+            params=jax.tree.map(jnp.asarray, ck["params"]),
+            batch_stats=jax.tree.map(jnp.asarray, ck["batch_stats"]),
+        )
+
+    # ------------------------------------------------------------------
+    def test(self) -> Dict[str, Dict[str, float]]:
+        """Evaluate last + each best checkpoint on the test split, writing
+        the reference's test_result.log / test_sample_scores.log records
+        (entry.py:156-182)."""
+        cfg = self.config
+        out: Dict[str, Dict[str, float]] = {}
+        tags = ["last"] + [
+            f"best_{m}" for m in cfg.monitors if f"best_{m}" in self._ckpts
+        ]
+        saved_state = self.state
+        for tag in tags:
+            self.load_checkpoint_tag(tag)
+            true_y, pred_y = self._predict(self.dataset.subset("test"))
+            out[tag] = compute_metrics(self.dataset.metrics, true_y, pred_y)
+            scores_path = os.path.join(
+                cfg.log_dir, f"test_sample_scores_{tag}.log"
+            )
+            os.makedirs(cfg.log_dir, exist_ok=True)
+            with open(scores_path, "w") as f:
+                for p, t in zip(pred_y, true_y):
+                    f.write(f"{p},{t}\n")
+        self.state = saved_state
+        with open(os.path.join(cfg.log_dir, "test_result.log"), "w") as f:
+            for tag, metrics in out.items():
+                f.write(f"[{tag}]\n")
+                for k, v in metrics.items():
+                    f.write(f"{k}: {v}\n")
+        return out
