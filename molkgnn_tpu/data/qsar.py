@@ -1,0 +1,250 @@
+"""QSAR (PubChem HTS) dataset ingest: SDF -> featurized MolGraphs + splits.
+
+Reference contract: QSARDataset (/root/reference/wrapper.py:351-556) + split
+artifacts (utils/data_split.py). Nine assay IDs + the AID-9999 smoke set;
+actives/inactives SDF pairs named ``{AID}_actives_new.sdf`` /
+``{AID}_inactives_new.sdf`` under ``root/raw``; invalid molecules are logged
+as (counter, label) and removed from every split part (wrapper.py:509-531,
+with a loud warning when an active is dropped).
+
+Processed caches are a single ``.npz`` per (dataset, backend) — node/edge
+arrays concatenated with per-molecule counts; receptive fields are
+recomputed on load by the vectorized builder (cheap).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import random
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from molkgnn_tpu.chem.features import mol_to_graph
+from molkgnn_tpu.chem.sdf import parse_sdf
+from molkgnn_tpu.data.dataset import Dataset, QSAR_METRICS
+from molkgnn_tpu.graphs.molgraph import MolGraph
+
+DATASET_INFO = {
+    "435008": {"num_active": 233, "num_inactive": 217923},
+    "1798": {"num_active": 187, "num_inactive": 61645},
+    "435034": {"num_active": 362, "num_inactive": 61393},
+    "1843": {"num_active": 172, "num_inactive": 301318},
+    "2258": {"num_active": 213, "num_inactive": 302189},
+    "463087": {"num_active": 703, "num_inactive": 100171},
+    "488997": {"num_active": 252, "num_inactive": 302051},
+    "2689": {"num_active": 172, "num_inactive": 319617},
+    "485290": {"num_active": 278, "num_inactive": 341026},
+    "9999": {"num_active": 37, "num_inactive": 226},
+}
+
+
+# ---------------------------------------------------------------------------
+# Splits
+# ---------------------------------------------------------------------------
+def make_split(
+    num_active: int,
+    num_inactive: int,
+    seed: int,
+    shrink: bool = False,
+) -> Dict[str, List[int]]:
+    """Stratified 80/10/10 split, reproducing utils/data_split.py:6-56
+    exactly (python ``random`` shuffles, rounding, 10k shrink cap) so splits
+    are bit-identical to the shipped artifacts for the same seed."""
+    active_idx = list(range(num_active))
+    inactive_idx = list(range(num_active, num_active + num_inactive))
+    random.seed(seed)
+    random.shuffle(active_idx)
+    random.shuffle(inactive_idx)
+
+    n_at = round(num_active * 0.8)
+    n_it = (
+        (10000 if num_inactive > 10000 else round(num_inactive * 0.8))
+        if shrink
+        else round(num_inactive * 0.8)
+    )
+    n_av = round(num_active * 0.1)
+    n_iv = round(num_inactive * 0.1)
+    n_ate = num_active - n_at - n_av
+    n_ite = round(num_inactive * 0.1)
+
+    return {
+        "train": active_idx[:n_at] + inactive_idx[:n_it],
+        "valid": active_idx[n_at : n_at + n_av]
+        + inactive_idx[n_it : n_it + n_iv],
+        "test": active_idx[n_at + n_av : n_at + n_av + n_ate]
+        + inactive_idx[n_it + n_iv : n_it + n_iv + n_ite],
+    }
+
+
+def split_checksum(split: Dict[str, List[int]]) -> str:
+    """MD5 over the JSON split dict (utils/data_split.py:59-63)."""
+    return hashlib.md5(
+        json.dumps(split, sort_keys=True).encode("utf-8")
+    ).hexdigest()
+
+
+def load_reference_split(path: str) -> Dict[str, List[int]]:
+    """Load a shipped ``data_split/*.pt`` artifact (torch pickle)."""
+    import torch
+
+    split = torch.load(path, weights_only=False)
+    return {k: list(v) for k, v in split.items()}
+
+
+def remove_invalid_from_split(
+    split: Dict[str, List[int]], invalid: List[Tuple[int, int]]
+) -> Dict[str, List[int]]:
+    """Drop invalid molecule ids from every part (wrapper.py:509-531)."""
+    split = {k: list(v) for k, v in split.items()}
+    for mol_id, label in invalid:
+        if label == 1:
+            print("====warning: a positive label is removed====")
+        for part in split.values():
+            if mol_id in part:
+                part.remove(mol_id)
+    return split
+
+
+# ---------------------------------------------------------------------------
+# Ingest + cache
+# ---------------------------------------------------------------------------
+def _cache_path(cache_dir: str, dataset: str, backend: str) -> str:
+    return os.path.join(cache_dir, f"kgnn-{dataset}-3D-{backend}.npz")
+
+
+def save_graph_cache(path: str, graphs: List[MolGraph], invalid) -> None:
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    np.savez_compressed(
+        path,
+        x=np.concatenate([g.x for g in graphs]),
+        p=np.concatenate([g.p for g in graphs]),
+        edge_index=np.concatenate([g.edge_index for g in graphs], axis=1),
+        edge_attr=np.concatenate([g.edge_attr for g in graphs]),
+        atomic_num=np.concatenate([g.atomic_num for g in graphs]),
+        y=np.array([g.y for g in graphs], np.float32),
+        idx=np.array([g.idx for g in graphs], np.int64),
+        node_counts=np.array([g.num_nodes for g in graphs], np.int64),
+        edge_counts=np.array([g.num_edges for g in graphs], np.int64),
+        smiles=np.array([g.smiles for g in graphs], dtype=object),
+        invalid=np.array(invalid, np.int64).reshape(-1, 2),
+        allow_pickle=True,
+    )
+
+
+def load_graph_cache(path: str) -> Tuple[List[MolGraph], List[Tuple[int, int]]]:
+    z = np.load(path, allow_pickle=True)
+    node_off = np.concatenate([[0], np.cumsum(z["node_counts"])])
+    edge_off = np.concatenate([[0], np.cumsum(z["edge_counts"])])
+    graphs = []
+    for i in range(len(z["node_counts"])):
+        ns, ne = node_off[i], node_off[i + 1]
+        es, ee = edge_off[i], edge_off[i + 1]
+        graphs.append(
+            MolGraph(
+                x=z["x"][ns:ne],
+                p=z["p"][ns:ne],
+                edge_index=z["edge_index"][:, es:ee],
+                edge_attr=z["edge_attr"][es:ee],
+                y=float(z["y"][i]),
+                atomic_num=z["atomic_num"][ns:ne],
+                smiles=str(z["smiles"][i]),
+                idx=int(z["idx"][i]),
+            )
+        )
+    invalid = [tuple(row) for row in z["invalid"]]
+    return graphs, invalid
+
+
+def ingest_qsar_sdf(
+    root: str,
+    dataset: str,
+    backend: str = "native",
+    progress: bool = True,
+) -> Tuple[List[MolGraph], List[Tuple[int, int]]]:
+    """Parse + featurize the actives/inactives SDF pair. Returns (graphs,
+    invalid (counter, label) pairs); graph ``idx`` is the global counter so
+    split indices line up (wrapper.py:414-427)."""
+    graphs: List[MolGraph] = []
+    invalid: List[Tuple[int, int]] = []
+    counter = -1
+    for file_name, label in (
+        (f"{dataset}_actives_new.sdf", 1),
+        (f"{dataset}_inactives_new.sdf", 0),
+    ):
+        path = os.path.join(root, "raw", file_name)
+        if backend == "rdkit":
+            from rdkit import Chem
+
+            supplier = Chem.SDMolSupplier(path)
+            records = ((m, {}) for m in supplier)
+        else:
+            records = parse_sdf(path)
+        for mol, _data in records:
+            counter += 1
+            g = (
+                mol_to_graph(mol, y=float(label), idx=counter, backend=backend)
+                if mol is not None
+                else None
+            )
+            if g is None:
+                invalid.append((counter, label))
+                continue
+            graphs.append(g)
+        if progress:
+            print(f"ingested {file_name}: {counter + 1} records so far")
+    return graphs, invalid
+
+
+def load_qsar_dataset(
+    root: str,
+    dataset: str = "1798",
+    split_file: Optional[str] = None,
+    seed: int = 2,
+    shrink: bool = True,
+    cache_dir: Optional[str] = None,
+    backend: str = "native",
+) -> Dataset:
+    """Full pipeline: (cached) ingest -> split -> Dataset.
+
+    ``split_file`` may point at a shipped reference ``.pt`` artifact;
+    otherwise the split is regenerated bit-identically from the known
+    active/inactive counts (utils/data_split.py defaults: seed 2, shrink).
+    """
+    if dataset not in DATASET_INFO:
+        raise ValueError(f"Invalid dataset name {dataset}")
+    cache_dir = cache_dir or os.path.join(root, "processed")
+    cpath = _cache_path(cache_dir, dataset, backend)
+    if os.path.exists(cpath):
+        graphs, invalid = load_graph_cache(cpath)
+    else:
+        graphs, invalid = ingest_qsar_sdf(root, dataset, backend=backend)
+        save_graph_cache(cpath, graphs, invalid)
+
+    if split_file:
+        split = load_reference_split(split_file)
+    else:
+        info = DATASET_INFO[dataset]
+        split = make_split(
+            info["num_active"], info["num_inactive"], seed, shrink=shrink
+        )
+    split = remove_invalid_from_split(split, invalid)
+
+    # Split indices refer to the global record counter; map to positions in
+    # the (invalid-free) graph list.
+    idx_to_pos = {g.idx: pos for pos, g in enumerate(graphs)}
+    split_pos = {
+        part: np.array(
+            [idx_to_pos[i] for i in ids if i in idx_to_pos], np.int64
+        )
+        for part, ids in split.items()
+    }
+    return Dataset(
+        name=dataset,
+        graphs=graphs,
+        split=split_pos,
+        metrics=list(QSAR_METRICS),
+        loss_name="bce_with_logits",
+    )
