@@ -109,6 +109,7 @@ class GraphLoader:
         oversample: bool = False,
         seed: int = 0,
         drop_last: bool = False,
+        collate=None,
     ):
         self.graphs = list(graphs)
         self.spec = spec
@@ -117,6 +118,7 @@ class GraphLoader:
         self.oversample = oversample
         self.rng = np.random.default_rng(seed)
         self.drop_last = drop_last
+        self.collate = collate if collate is not None else batch_graphs
 
     def __len__(self) -> int:
         n = len(self.graphs)
@@ -140,4 +142,4 @@ class GraphLoader:
         limit = (len(order) // bs) * bs if self.drop_last else len(order)
         for start in range(0, limit, bs):
             idx = order[start : start + bs]
-            yield batch_graphs([self.graphs[i] for i in idx], self.spec)
+            yield self.collate([self.graphs[i] for i in idx], self.spec)

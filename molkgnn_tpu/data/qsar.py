@@ -111,8 +111,15 @@ def remove_invalid_from_split(
 # ---------------------------------------------------------------------------
 # Ingest + cache
 # ---------------------------------------------------------------------------
-def _cache_path(cache_dir: str, dataset: str, backend: str) -> str:
-    return os.path.join(cache_dir, f"kgnn-{dataset}-3D-{backend}.npz")
+def _cache_path(
+    cache_dir: str, dataset: str, backend: str, gnn_type: str = "kgnn"
+) -> str:
+    # One cache per (gnn_type, AID, D, backend) — the reference's processed
+    # file naming (wrapper.py:391-392). kgnn/schnet/dimenet_pp/spherenet all
+    # share the MolGraph featurization (3D models read only z+pos from it).
+    kind = "chironet" if gnn_type == "chironet" else "kgnn"
+    ext = "npy" if kind == "chironet" else "npz"
+    return os.path.join(cache_dir, f"{kind}-{dataset}-3D-{backend}.{ext}")
 
 
 def save_graph_cache(path: str, graphs: List[MolGraph], invalid) -> None:
@@ -163,6 +170,7 @@ def ingest_qsar_sdf(
     dataset: str,
     backend: str = "native",
     progress: bool = True,
+    gnn_type: str = "kgnn",
 ) -> Tuple[List[MolGraph], List[Tuple[int, int]]]:
     """Parse + featurize the actives/inactives SDF pair. Returns (graphs,
     invalid (counter, label) pairs); graph ``idx`` is the global counter so
@@ -184,11 +192,16 @@ def ingest_qsar_sdf(
             records = parse_sdf(path)
         for mol, _data in records:
             counter += 1
-            g = (
-                mol_to_graph(mol, y=float(label), idx=counter, backend=backend)
-                if mol is not None
-                else None
-            )
+            if mol is None:
+                g = None
+            elif gnn_type == "chironet":
+                from molkgnn_tpu.graphs.chiro import mol_to_chiro_graph
+
+                g = mol_to_chiro_graph(mol, y=float(label), idx=counter)
+            else:
+                g = mol_to_graph(
+                    mol, y=float(label), idx=counter, backend=backend
+                )
             if g is None:
                 invalid.append((counter, label))
                 continue
@@ -206,6 +219,7 @@ def load_qsar_dataset(
     shrink: bool = True,
     cache_dir: Optional[str] = None,
     backend: str = "native",
+    gnn_type: str = "kgnn",
 ) -> Dataset:
     """Full pipeline: (cached) ingest -> split -> Dataset.
 
@@ -216,12 +230,28 @@ def load_qsar_dataset(
     if dataset not in DATASET_INFO:
         raise ValueError(f"Invalid dataset name {dataset}")
     cache_dir = cache_dir or os.path.join(root, "processed")
-    cpath = _cache_path(cache_dir, dataset, backend)
+    cpath = _cache_path(cache_dir, dataset, backend, gnn_type)
     if os.path.exists(cpath):
-        graphs, invalid = load_graph_cache(cpath)
+        if gnn_type == "chironet":
+            payload = np.load(cpath, allow_pickle=True).item()
+            graphs, invalid = payload["graphs"], payload["invalid"]
+        else:
+            graphs, invalid = load_graph_cache(cpath)
     else:
-        graphs, invalid = ingest_qsar_sdf(root, dataset, backend=backend)
-        save_graph_cache(cpath, graphs, invalid)
+        graphs, invalid = ingest_qsar_sdf(
+            root, dataset, backend=backend, gnn_type=gnn_type
+        )
+        if gnn_type == "chironet":
+            os.makedirs(os.path.dirname(cpath) or ".", exist_ok=True)
+            np.save(
+                cpath,
+                np.array(
+                    {"graphs": graphs, "invalid": invalid}, dtype=object
+                ),
+                allow_pickle=True,
+            )
+        else:
+            save_graph_cache(cpath, graphs, invalid)
 
     if split_file:
         split = load_reference_split(split_file)

@@ -85,12 +85,14 @@ class Trainer:
         spec: BatchSpec,
         config: TrainConfig,
         mesh: Optional[jax.sharding.Mesh] = None,
+        collate=None,
     ):
         self.model = model
         self.dataset = dataset
         self.spec = spec
         self.config = config
         self.mesh = mesh
+        self.collate = collate
         self.loss_fn = LOSSES[dataset.loss_name]
         self.history: List[Dict[str, float]] = []
         self.best: Dict[str, float] = {}
@@ -114,6 +116,7 @@ class Trainer:
                     dataset.subset("train")[: config.batch_size],
                     spec,
                     config.batch_size,
+                    collate=collate,
                 )
             )
         )
@@ -192,7 +195,8 @@ class Trainer:
     # ------------------------------------------------------------------
     def _predict(self, graphs) -> tuple[np.ndarray, np.ndarray]:
         loader = GraphLoader(
-            graphs, self.spec, self.config.batch_size, shuffle=False
+            graphs, self.spec, self.config.batch_size, shuffle=False,
+            collate=self.collate,
         )
         preds, trues = [], []
         for batch in loader:
@@ -228,6 +232,7 @@ class Trainer:
             shuffle=not cfg.oversample,
             oversample=cfg.oversample,
             seed=cfg.seed,
+            collate=self.collate,
         )
         os.makedirs(cfg.log_dir, exist_ok=True)
         ndev = int(np.prod(list(self.mesh.shape.values()))) if self.mesh else 1
