@@ -118,6 +118,15 @@ class GraphLoader:
         self.oversample = oversample
         self.rng = np.random.default_rng(seed)
         self.drop_last = drop_last
+        # Default (kgnn) path uses the flat-packed fast assembler: the
+        # dataset is pre-concatenated once, batches are O(1) numpy gathers
+        # (graphs/packed.py). Custom collates (3D/chiro families) pack
+        # per-molecule.
+        self._packed = None
+        if collate is None:
+            from molkgnn_tpu.graphs.packed import PackedGraphs
+
+            self._packed = PackedGraphs.from_graphs(self.graphs)
         self.collate = collate if collate is not None else batch_graphs
 
     def __len__(self) -> int:
@@ -142,4 +151,7 @@ class GraphLoader:
         limit = (len(order) // bs) * bs if self.drop_last else len(order)
         for start in range(0, limit, bs):
             idx = order[start : start + bs]
-            yield self.collate([self.graphs[i] for i in idx], self.spec)
+            if self._packed is not None:
+                yield self._packed.pack(idx, self.spec)
+            else:
+                yield self.collate([self.graphs[i] for i in idx], self.spec)

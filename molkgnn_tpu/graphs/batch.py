@@ -133,82 +133,119 @@ def spec_for_graphs(
     )
 
 
+def _pad_concat(arrays, total: int, name: str) -> np.ndarray:
+    """Concatenate then zero-pad axis 0 to ``total`` (single C-level copy)."""
+    cat = np.concatenate(arrays, axis=0) if arrays else None
+    if cat is None:
+        shape = (total,)
+        return np.zeros(shape, np.float32)
+    if cat.shape[0] > total:
+        raise ValueError(
+            f"batch exceeds {name} capacity ({cat.shape[0]} > {total})"
+        )
+    pad = np.zeros((total - cat.shape[0],) + cat.shape[1:], cat.dtype)
+    return np.concatenate([cat, pad], axis=0)
+
+
 def batch_graphs(graphs: Sequence[MolGraph], spec: BatchSpec) -> GraphBatch:
     """Pack molecules into one padded GraphBatch (host-side numpy).
 
     Node indices are offset per molecule (disjoint union). Raises if the batch
     exceeds any static capacity — capacities are a dataset property computed
     once by ``spec_for_graphs``; overflow means the spec is stale.
+
+    Implementation is fully vectorized (per-field concatenate + one pad):
+    the packer runs once per training step on the host, so its cost bounds
+    end-to-end throughput.
     """
     B = spec.num_graphs
     if len(graphs) > B:
         raise ValueError(f"batch of {len(graphs)} > spec.num_graphs={B}")
 
-    x = np.zeros((spec.num_nodes, spec.node_dim), np.float32)
-    p = np.zeros((spec.num_nodes, spec.pos_dim), np.float32)
-    node_mask = np.zeros((spec.num_nodes,), bool)
-    node_graph_id = np.zeros((spec.num_nodes,), np.int32)
-    edge_src = np.zeros((spec.num_edges,), np.int32)
-    edge_dst = np.zeros((spec.num_edges,), np.int32)
-    edge_attr = np.zeros((spec.num_edges, spec.edge_dim), np.float32)
-    edge_mask = np.zeros((spec.num_edges,), bool)
+    graphs = [g.with_fields() for g in graphs]
+    counts = np.array([g.num_nodes for g in graphs], np.int64)
+    n_offsets = np.concatenate([[0], np.cumsum(counts)])
+    if n_offsets[-1] > spec.num_nodes:
+        raise ValueError("batch exceeds node/edge capacity")
+
+    x = _pad_concat([g.x for g in graphs], spec.num_nodes, "node")
+    p = _pad_concat([g.p for g in graphs], spec.num_nodes, "node")
+    node_mask = np.arange(spec.num_nodes) < n_offsets[-1]
+    node_graph_id = _pad_concat(
+        [
+            np.full(g.num_nodes, gi, np.int32)
+            for gi, g in enumerate(graphs)
+        ],
+        spec.num_nodes,
+        "node",
+    ).astype(np.int32)
+
+    e_counts = np.array([g.num_edges for g in graphs], np.int64)
+    e_total = int(e_counts.sum())
+    edge_pair = _pad_concat(
+        [
+            (g.edge_index + n_offsets[gi]).astype(np.int32).T
+            for gi, g in enumerate(graphs)
+        ],
+        spec.num_edges,
+        "edge",
+    ).astype(np.int32)
+    edge_src, edge_dst = edge_pair[:, 0], edge_pair[:, 1]
+    edge_attr = _pad_concat(
+        [g.edge_attr for g in graphs], spec.num_edges, "edge"
+    )
+    edge_mask = np.arange(spec.num_edges) < e_total
+
     y = np.zeros((B,), np.float32)
-    graph_mask = np.zeros((B,), bool)
+    y[: len(graphs)] = [g.y for g in graphs]
+    graph_mask = np.arange(B) < len(graphs)
 
     caps = spec.deg_capacity
-    focal = [np.zeros((caps[d],), np.int32) for d in range(MAX_DEGREE)]
-    nei = [
-        np.zeros((caps[d], d + 1), np.int32) for d in range(MAX_DEGREE)
-    ]
-    nei_ea = [
-        np.zeros((caps[d], d + 1, spec.edge_dim), np.float32)
-        for d in range(MAX_DEGREE)
-    ]
-    bmask = [np.zeros((caps[d],), bool) for d in range(MAX_DEGREE)]
-
-    n_off = 0
-    e_off = 0
-    d_off = [0] * MAX_DEGREE
-    for gi, g in enumerate(graphs):
-        g = g.with_fields()
-        n, e = g.num_nodes, g.num_edges
-        if n_off + n > spec.num_nodes or e_off + e > spec.num_edges:
-            raise ValueError("batch exceeds node/edge capacity")
-        x[n_off : n_off + n] = g.x
-        p[n_off : n_off + n] = g.p
-        node_mask[n_off : n_off + n] = True
-        node_graph_id[n_off : n_off + n] = gi
-        edge_src[e_off : e_off + e] = g.edge_index[0] + n_off
-        edge_dst[e_off : e_off + e] = g.edge_index[1] + n_off
-        edge_attr[e_off : e_off + e] = g.edge_attr
-        edge_mask[e_off : e_off + e] = True
-        y[gi] = g.y
-        graph_mask[gi] = True
-        for d in range(MAX_DEGREE):
-            f = g.fields[d + 1]
-            c = f.count
-            if c == 0:
-                continue
-            o = d_off[d]
-            if o + c > caps[d]:
-                raise ValueError(f"batch exceeds degree-{d + 1} capacity")
-            focal[d][o : o + c] = f.focal_index + n_off
-            nei[d][o : o + c] = f.nei_index + n_off
-            nei_ea[d][o : o + c] = f.nei_edge_attr
-            bmask[d][o : o + c] = True
-            d_off[d] = o + c
-        n_off += n
-        e_off += e
-
-    buckets = [
-        DegreeBucket(
-            focal_index=focal[d],
-            nei_index=nei[d],
-            nei_edge_attr=nei_ea[d],
-            mask=bmask[d],
+    buckets = []
+    for d in range(MAX_DEGREE):
+        fs = [g.fields[d + 1] for g in graphs]
+        total = sum(f.count for f in fs)
+        cap = caps[d]
+        if total > cap:
+            raise ValueError(f"batch exceeds degree-{d + 1} capacity")
+        focal = _pad_concat(
+            [
+                (f.focal_index + n_offsets[gi]).astype(np.int32)
+                for gi, f in enumerate(fs)
+                if f.count
+            ]
+            or [np.zeros((0,), np.int32)],
+            cap,
+            f"deg{d + 1}",
+        ).astype(np.int32)
+        nei = _pad_concat(
+            [
+                (f.nei_index + n_offsets[gi]).astype(np.int32)
+                for gi, f in enumerate(fs)
+                if f.count
+            ]
+            or [np.zeros((0, d + 1), np.int32)],
+            cap,
+            f"deg{d + 1}",
+        ).astype(np.int32)
+        if nei.ndim == 1:
+            nei = nei.reshape(cap, d + 1) if cap else nei
+        nei_ea = _pad_concat(
+            [f.nei_edge_attr for f in fs if f.count]
+            or [np.zeros((0, d + 1, spec.edge_dim), np.float32)],
+            cap,
+            f"deg{d + 1}",
         )
-        for d in range(MAX_DEGREE)
-    ]
+        if nei_ea.ndim == 1:
+            nei_ea = nei_ea.reshape(cap, d + 1, spec.edge_dim)
+        buckets.append(
+            DegreeBucket(
+                focal_index=focal,
+                nei_index=nei,
+                nei_edge_attr=nei_ea,
+                mask=np.arange(cap) < total,
+            )
+        )
     return GraphBatch(
         x=x,
         p=p,

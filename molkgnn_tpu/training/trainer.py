@@ -68,6 +68,11 @@ class TrainConfig:
     checkpoint_dir: Optional[str] = None
     tot_iterations: Optional[int] = None  # derived like entry.py:97-101
     progress: bool = True
+    # Keep the flat-packed dataset in HBM and assemble batches on device
+    # from sampled graph ids (graphs/device_pack.py). Enabled automatically
+    # for the default (kgnn) batch family on a single device; per-step
+    # host->device traffic drops to the id vector.
+    use_device_data: bool = True
 
     def resolve_tot_iterations(self, num_train: int) -> int:
         if self.tot_iterations is not None:
@@ -136,6 +141,17 @@ class Trainer:
         self._train_step = self._build_train_step()
         self._eval_step = self._build_eval_step()
 
+        self._device_data = None
+        if collate is None and mesh is None and config.use_device_data:
+            from molkgnn_tpu.graphs.device_pack import DeviceDataset
+            from molkgnn_tpu.graphs.packed import PackedGraphs
+
+            self._device_data = DeviceDataset.from_packed(
+                PackedGraphs.from_graphs(dataset.graphs)
+            )
+            self._train_step_ids = self._build_train_step_ids()
+            self._eval_step_ids = self._build_eval_step_ids()
+
     # ------------------------------------------------------------------
     def _build_train_step(self) -> Callable:
         model, tx, loss_fn = self.model, self.tx, self.loss_fn
@@ -177,7 +193,34 @@ class Trainer:
             from molkgnn_tpu.parallel.data_parallel import shard_train_step
 
             return shard_train_step(train_step, self.mesh)
+        self._train_step_fn = train_step
         return jax.jit(train_step, donate_argnums=(0,))
+
+    def _build_train_step_ids(self) -> Callable:
+        from molkgnn_tpu.graphs.device_pack import gather_batch
+
+        spec, step_fn = self.spec, self._train_step_fn
+
+        def train_step_ids(state, data, ids):
+            return step_fn(state, gather_batch(data, ids, spec))
+
+        return jax.jit(train_step_ids, donate_argnums=(0,))
+
+    def _build_eval_step_ids(self) -> Callable:
+        from molkgnn_tpu.graphs.device_pack import gather_batch
+
+        model, spec = self.model, self.spec
+
+        def eval_step_ids(params, batch_stats, data, ids):
+            batch = gather_batch(data, ids, spec)
+            pred, _ = model.apply(
+                {"params": params, "batch_stats": batch_stats},
+                batch,
+                train=False,
+            )
+            return pred
+
+        return jax.jit(eval_step_ids)
 
     def _build_eval_step(self) -> Callable:
         model = self.model
@@ -193,6 +236,33 @@ class Trainer:
         return jax.jit(eval_step)
 
     # ------------------------------------------------------------------
+    def _epoch_id_batches(self, cfg):
+        """Sampled train ids per step (device-data path): reproduces the
+        loader's oversampling/shuffle semantics over global graph ids."""
+        from molkgnn_tpu.data.dataset import oversampling_weights
+        from molkgnn_tpu.graphs.device_pack import pad_ids
+
+        if not hasattr(self, "_id_rng"):
+            self._id_rng = np.random.default_rng(cfg.seed)
+        train_ids = np.asarray(self.dataset.split["train"])
+        n = train_ids.shape[0]
+        if cfg.oversample:
+            labels = np.array(
+                [self.dataset.graphs[i].y for i in train_ids]
+            )
+            w = oversampling_weights(labels)
+            order = self._id_rng.choice(n, size=n, replace=True, p=w / w.sum())
+        else:
+            order = self._id_rng.permutation(n)
+        sampled = train_ids[order]
+        bs = cfg.batch_size
+        for start in range(0, n, bs):
+            chunk = sampled[start : start + bs]
+            # numpy out: jit transfers the ~1KB id vector itself; creating
+            # device arrays here would force expensive readbacks on any
+            # host-side consumer (tunneled-TPU D2H is pathological).
+            yield pad_ids(chunk, bs)
+
     def _predict(self, graphs) -> tuple[np.ndarray, np.ndarray]:
         loader = GraphLoader(
             graphs, self.spec, self.config.batch_size, shuffle=False,
@@ -239,8 +309,16 @@ class Trainer:
         for epoch in range(cfg.max_epochs):
             t0 = time.time()
             losses = []
-            if ndev == 1:
-                for batch in loader:
+            if ndev == 1 and self._device_data is not None:
+                for ids in self._epoch_id_batches(cfg):
+                    self.state, loss = self._train_step_ids(
+                        self.state, self._device_data, ids
+                    )
+                    losses.append(loss)
+            elif ndev == 1:
+                from molkgnn_tpu.data.prefetch import prefetch_to_device
+
+                for batch in prefetch_to_device(loader):
                     self.state, loss = self._train_step(self.state, batch)
                     losses.append(loss)
             else:
@@ -258,7 +336,9 @@ class Trainer:
                         )
                         losses.append(loss)
                         group = []
-            train_loss = float(np.mean([np.asarray(l) for l in losses]))
+            # One device->host readback per epoch (readbacks are expensive
+            # on tunneled TPUs), not one per step.
+            train_loss = float(jnp.mean(jnp.stack(losses)))
 
             results = self.evaluate("valid")
             if cfg.train_metric:

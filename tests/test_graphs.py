@@ -83,3 +83,61 @@ def test_partial_batch_pads_graph_mask():
     batch = batch_graphs(graphs[:2], spec)
     assert int(batch.graph_mask.sum()) == 2
     assert batch.y.shape == (4,)
+
+
+def test_packed_pack_equals_batch_graphs():
+    from molkgnn_tpu.graphs.packed import PackedGraphs
+
+    graphs = random_dataset(seed=11, num_graphs=24)
+    spec = spec_for_graphs(graphs, batch_size=8)
+    packed = PackedGraphs.from_graphs(graphs)
+    ids = np.array([3, 17, 0, 9, 21, 5])  # arbitrary order, partial batch
+    got = packed.pack(ids, spec)
+    want = batch_graphs([graphs[i] for i in ids], spec)
+    import jax
+
+    for a, b in zip(jax.tree.leaves(got), jax.tree.leaves(want)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_packed_pack_overflow_raises():
+    from molkgnn_tpu.graphs.packed import PackedGraphs
+
+    graphs = random_dataset(seed=12, num_graphs=16)
+    spec = spec_for_graphs(graphs, batch_size=4)
+    packed = PackedGraphs.from_graphs(graphs)
+    import pytest
+
+    with pytest.raises(ValueError):
+        packed.pack(np.arange(16), spec)
+
+
+def test_device_gather_equals_host_pack():
+    import jax
+    import jax.numpy as jnp
+
+    from molkgnn_tpu.graphs.device_pack import (
+        DeviceDataset,
+        gather_batch,
+        pad_ids,
+    )
+    from molkgnn_tpu.graphs.packed import PackedGraphs
+
+    graphs = random_dataset(seed=13, num_graphs=24)
+    spec = spec_for_graphs(graphs, batch_size=8)
+    packed = PackedGraphs.from_graphs(graphs)
+    dev = DeviceDataset.from_packed(packed)
+
+    for ids in (np.array([5, 1, 19, 2, 8, 11, 0, 23]), np.array([7, 3])):
+        want = packed.pack(ids, spec)
+        got = jax.jit(gather_batch, static_argnums=2)(
+            dev, jnp.asarray(pad_ids(ids, 8)), spec
+        )
+        for (ka, a), (kb, b) in zip(
+            jax.tree_util.tree_leaves_with_path(got),
+            jax.tree_util.tree_leaves_with_path(want),
+        ):
+            assert str(ka) == str(kb)
+            np.testing.assert_array_equal(
+                np.asarray(a), np.asarray(b), err_msg=str(ka)
+            )
