@@ -91,6 +91,7 @@ class Trainer:
         config: TrainConfig,
         mesh: Optional[jax.sharding.Mesh] = None,
         collate=None,
+        monitor=None,
     ):
         self.model = model
         self.dataset = dataset
@@ -98,6 +99,7 @@ class Trainer:
         self.config = config
         self.mesh = mesh
         self.collate = collate
+        self.monitor = monitor
         self.loss_fn = LOSSES[dataset.loss_name]
         self.history: List[Dict[str, float]] = []
         self.best: Dict[str, float] = {}
@@ -348,6 +350,8 @@ class Trainer:
             results["epoch"] = epoch
             results["epoch_time_s"] = time.time() - t0
             self.history.append(results)
+            if self.monitor is not None:
+                self.monitor.on_epoch_end(epoch, results)
             self._update_checkpoints(results)
             if cfg.progress:
                 shown = {
@@ -398,6 +402,55 @@ class Trainer:
         )
 
     # ------------------------------------------------------------------
+    def save_kernels(self, out_dir: str):
+        """Dump the first layer's learned kernels (reference
+        model.py:417-431 saves layer-0 trainable_kernelconv_set) for the
+        interpretability analyses (analyses/kernel_reader)."""
+        os.makedirs(out_dir, exist_ok=True)
+        params = self.state.params
+        layer0 = (
+            params.get("encoder", params)
+            .get("gnn", {})
+            .get("layer0", None)
+        )
+        if layer0 is None:
+            raise ValueError("save_kernels: model has no kgnn layer0")
+        flat = {}
+        for conv_name, conv in layer0.items():
+            for pname, val in conv.items():
+                flat[f"{conv_name}/{pname}"] = np.asarray(val)
+        np.savez(os.path.join(out_dir, "kernels.npz"), **flat)
+
+    def save_graph_embedding(self, out_dir: str, part: str = "test"):
+        """Save graph embeddings + smiles for a split (reference
+        model.py:409-415)."""
+        os.makedirs(out_dir, exist_ok=True)
+        graphs = self.dataset.subset(part)
+        loader = GraphLoader(
+            graphs, self.spec, self.config.batch_size, shuffle=False,
+            collate=self.collate,
+        )
+        embs = []
+        for batch in loader:
+            _, emb = self.model.apply(
+                {
+                    "params": self.state.params,
+                    "batch_stats": self.state.batch_stats,
+                },
+                batch,
+                train=False,
+            )
+            embs.append(np.asarray(emb)[np.asarray(batch.graph_mask)])
+        np.save(
+            os.path.join(out_dir, "graph_embedding.npy"),
+            np.concatenate(embs),
+        )
+        with open(
+            os.path.join(out_dir, "smiles_for_graph_embedding.txt"), "w"
+        ) as f:
+            for g in graphs:
+                f.write(getattr(g, "smiles", "") + "\n")
+
     def test(self) -> Dict[str, Dict[str, float]]:
         """Evaluate last + each best checkpoint on the test split, writing
         the reference's test_result.log / test_sample_scores.log records

@@ -1,0 +1,190 @@
+"""Experiment layer tests: CLI, sweep, aggregation, monitors, analyses,
+D4DCHP datasets."""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from molkgnn_tpu.experiments.aggregate import aggregate_results, parse_test_result
+from molkgnn_tpu.experiments.sweep import (
+    SweepConfig,
+    experiment_name,
+    grid_points,
+    run_sweep,
+)
+
+CLI_ENV = None
+
+
+def _cli_env():
+    global CLI_ENV
+    if CLI_ENV is None:
+        env = dict(os.environ)
+        env.pop("PALLAS_AXON_POOL_IPS", None)
+        env["JAX_PLATFORMS"] = "cpu"
+        CLI_ENV = env
+    return CLI_ENV
+
+
+TINY_KGNN = [
+    "--gnn_type", "kgnn", "--num_layers", "2",
+    "--num_kernel1_1hop", "2", "--num_kernel2_1hop", "3",
+    "--num_kernel3_1hop", "4", "--num_kernel4_1hop", "5",
+    "--num_kernel1_Nhop", "2", "--num_kernel2_Nhop", "3",
+    "--num_kernel3_Nhop", "4", "--num_kernel4_Nhop", "5",
+    "--hidden_dim", "8", "--batch_size", "16", "--max_epochs", "1",
+    "--warmup_iterations", "3",
+]
+
+
+def test_cli_trains_on_synthetic(tmp_path):
+    r = subprocess.run(
+        [sys.executable, "-m", "molkgnn_tpu.cli.entry",
+         "--dataset_name", "synthetic", *TINY_KGNN,
+         "--default_root_dir", str(tmp_path), "--task_name", "t"],
+        capture_output=True, text=True, timeout=500, env=_cli_env(),
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    logs = tmp_path / "logs"
+    assert (logs / "test_result.log").exists()
+    assert (logs / "task_info.log").exists()
+    assert (logs / "kernels" / "kernels.npz").exists()
+    assert (logs / "graph_embedding.npy").exists()
+    parsed = parse_test_result(str(logs / "test_result.log"))
+    assert "last" in parsed and "AUC" in parsed["last"]
+
+
+def test_grid_points_and_names():
+    grid = {"peak_lr": [1e-2, 1e-3], "num_layers": [2, 3]}
+    pts = grid_points(grid)
+    assert len(pts) == 4
+    names = {experiment_name(p) for p in pts}
+    assert len(names) == 4
+    assert "num_layers-2_peak_lr-0.01" in names
+
+
+def test_sweep_dry_run_and_resume(tmp_path):
+    cfg = SweepConfig(
+        base_args={"dataset_name": "synthetic"},
+        grid={"peak_lr": [1e-2, 1e-3]},
+        out_dir=str(tmp_path),
+    )
+    records = run_sweep(cfg, dry_run=True)
+    assert all(r["status"] == "planned" for r in records)
+    # Simulate a finished experiment -> resume skips it.
+    done = tmp_path / records[0]["name"] / "logs"
+    done.mkdir(parents=True)
+    (done / "test_result.log").write_text("[last]\nAUC: 0.5\n")
+    records = run_sweep(cfg, dry_run=True)
+    assert records[0]["status"] == "done"
+    assert records[1]["status"] == "planned"
+
+
+def test_aggregate_results(tmp_path):
+    for name, auc in (("exp_a", 0.7), ("exp_b", 0.9)):
+        d = tmp_path / name / "logs"
+        d.mkdir(parents=True)
+        (d / "test_result.log").write_text(
+            f"[last]\nAUC: {auc}\nloss: 0.5\n[best_AUC]\nAUC: {auc + 0.01}\n"
+        )
+    tables = aggregate_results(str(tmp_path), out_dir=str(tmp_path / "agg"))
+    assert "AUC" in tables
+    rows = tables["AUC"]
+    assert rows[0] == ["experiment", "best_AUC", "last"]
+    assert rows[1][0] == "exp_a" and float(rows[1][2]) == 0.7
+    assert (tmp_path / "agg" / "all_test_result_df_AUC.csv").exists()
+
+
+def test_monitors():
+    from molkgnn_tpu.training.monitors import MetricMonitor, jsonl_sink
+
+    records = []
+    mon = MetricMonitor(sinks=[records.append])
+    mon.on_epoch_end(0, {"loss": 1.0})
+    mon.on_epoch_end(1, {"loss": 0.5, "AUC": 0.8})
+    assert len(mon.history) == 2
+    assert records[1]["AUC"] == 0.8
+
+
+def test_kernel_reader(tmp_path):
+    rng = np.random.default_rng(0)
+    payload = {}
+    for deg, L in ((1, 2), (2, 2), (3, 2), (4, 2)):
+        payload[f"kernelconv{deg}/x_center"] = rng.standard_normal((L, 28))
+        payload[f"kernelconv{deg}/x_support"] = rng.standard_normal((L, deg, 28))
+        payload[f"kernelconv{deg}/edge_attr_support"] = rng.standard_normal(
+            (L, deg, 7)
+        )
+        payload[f"kernelconv{deg}/p_support"] = rng.standard_normal((L, deg, 3))
+    path = str(tmp_path / "kernels.npz")
+    np.savez(path, **payload)
+
+    from molkgnn_tpu.analyses.kernel_reader import decode_kernels, interpret_kernel
+
+    decoded = decode_kernels(path)
+    assert set(decoded) == {1, 2, 3, 4}
+    assert decoded[4][0]["center"]["element"] in (
+        "H C N O F Si P S Cl Br I other".split()
+    )
+    text = interpret_kernel(path, 4, 1)
+    assert "kernel deg=4 #1" in text and "support 3" in text
+
+
+def test_enantiomer_separation_detects_chirality():
+    """Mirror-pair cosine < 1 for a trained-shape kgnn on a chiral graph."""
+    import jax
+
+    from molkgnn_tpu.analyses.embedding_compare import enantiomer_separation
+    from molkgnn_tpu.data.synthetic import random_molgraph
+    from molkgnn_tpu.graphs import batch_graphs, spec_for_graphs
+    from molkgnn_tpu.models import MolKGNNNet
+
+    rng = np.random.default_rng(5)
+    graphs = [random_molgraph(rng, num_atoms=14) for _ in range(4)]
+    chiral = [g for g in graphs if g.with_fields().fields[4].count > 0]
+    assert chiral, "need at least one molecule with a degree-4 center"
+    spec = spec_for_graphs(graphs, batch_size=1)
+    # num_layers=1 so the chirality check sees the raw (pairwise-distinct)
+    # input features; deeper nets mark deg-4 nodes whose identical-H
+    # neighbors aggregate to equal vectors as achiral (correct semantics).
+    model = MolKGNNNet(num_layers=1, kernels_1hop=(2, 3, 4, 5),
+                       kernels_nhop=(2, 3, 4, 5), graph_embedding_dim=8)
+    batch0 = batch_graphs([chiral[0]], spec)
+    variables = model.init(jax.random.key(0), batch0)
+
+    cosines = enantiomer_separation(
+        lambda v, b: model.apply(v, b),
+        variables,
+        lambda g: batch_graphs([g], spec),
+        [("m0", chiral[0])],
+    )
+    assert cosines["m0"] < 0.99999
+
+
+def test_d4dchp_dataset(tmp_path):
+    import csv
+
+    from molkgnn_tpu.data.d4dchp import load_d4dchp_dataset
+
+    smis = ["CCO", "CCC", "CCN", "CCCC", "CCOC", "CCS"]
+    with open(tmp_path / "data.csv", "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["smiles", "labels"])
+        for i, s in enumerate(smis):
+            w.writerow([s, i % 2])
+    split = np.array(
+        [np.array([0, 1, 2, 3]), np.array([4]), np.array([5])],
+        dtype=object,
+    )
+    np.save(tmp_path / "split.npy", split, allow_pickle=True)
+    ds = load_d4dchp_dataset(
+        str(tmp_path / "data.csv"), "CHIRAL1", str(tmp_path / "split.npy")
+    )
+    assert len(ds.graphs) == 6
+    assert ds.metrics == ["accuracy"]
+    assert len(ds.split["train"]) == 4
+    assert ds.graphs[0].y in (0.0, 1.0)
