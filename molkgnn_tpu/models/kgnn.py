@@ -31,6 +31,7 @@ from __future__ import annotations
 from typing import Sequence, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -190,6 +191,10 @@ class KernelSetConv(nn.Module):
     node_dim: int
     edge_dim: int
     pos_dim: int = 3
+    # Edge-partition parallelism: when set, degree-bucket rows are sharded
+    # across this mesh axis and the per-degree blocks are psum-combined
+    # (parallel/edge_partition.py).
+    psum_axis: str | None = None
 
     @nn.compact
     def __call__(
@@ -224,7 +229,10 @@ class KernelSetConv(nn.Module):
             # zero contribution, so .add is exact.
             block = jnp.zeros((n, self.num_kernels[d - 1]), sc.dtype)
             blocks.append(block.at[b.focal_index].add(sc))
-        return jnp.concatenate(blocks, axis=1)
+        out = jnp.concatenate(blocks, axis=1)
+        if self.psum_axis is not None:
+            out = jax.lax.psum(out, self.psum_axis)
+        return out
 
 
 class MolGCN(nn.Module):
@@ -243,6 +251,7 @@ class MolGCN(nn.Module):
     node_dim: int
     edge_dim: int
     pos_dim: int = 3
+    psum_axis: str | None = None
 
     @nn.compact
     def __call__(self, batch: GraphBatch, x: jnp.ndarray) -> jnp.ndarray:
@@ -255,6 +264,7 @@ class MolGCN(nn.Module):
                 node_dim=in_dim,
                 edge_dim=self.edge_dim,
                 pos_dim=self.pos_dim,
+                psum_axis=self.psum_axis,
                 name=f"layer{i}",
             )
             sc = layer(
@@ -270,6 +280,8 @@ class MolGCN(nn.Module):
                 num_nodes=sc.shape[0],
                 edge_mask=batch.edge_mask,
             )
+            if self.psum_axis is not None:
+                h = jax.lax.psum(h, self.psum_axis)
             in_dim = sum(counts)
         return h
 
@@ -296,6 +308,7 @@ class MolKGNNNet(nn.Module):
     pos_dim: int = 3
     graph_embedding_dim: int = 32
     drop_ratio: float = 0.0
+    psum_axis: str | None = None
 
     @nn.compact
     def __call__(
@@ -316,6 +329,7 @@ class MolKGNNNet(nn.Module):
             node_dim=self.node_dim,
             edge_dim=self.edge_dim,
             pos_dim=self.pos_dim,
+            psum_axis=self.psum_axis,
             name="gnn",
         )(batch, x)
 

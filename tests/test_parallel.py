@@ -66,3 +66,45 @@ def test_dp_fit_epoch_runs_on_8_devices():
     history = trainer.fit()
     assert len(history) == 1
     assert np.isfinite(history[0]["train_loss"])
+
+
+def test_edge_partition_matches_single_device():
+    """Edge/bucket-sharded forward over 4 devices == single-device forward.
+
+    Uses a single kgnn layer: deeper nets develop bitwise-equal neighbor
+    features (sibling hydrogens) whose permutation scores tie exactly, and
+    fp tie-breaks then legitimately differ between compilations with
+    different matmul tilings (sharded vs not) — the same instability any
+    reshape/recompile has (documented in parallel/edge_partition.py).
+    """
+    from jax.sharding import Mesh
+
+    from molkgnn_tpu.models import MolKGNNNet
+    from molkgnn_tpu.parallel.edge_partition import (
+        edge_parallel_forward,
+        partition_batch,
+    )
+    from molkgnn_tpu.data.dataset import GraphLoader, make_synthetic_dataset
+    from molkgnn_tpu.graphs import spec_for_graphs
+
+    ds = make_synthetic_dataset(seed=21, num_graphs=16)
+    spec = spec_for_graphs(ds.graphs, batch_size=8)
+    batch = next(iter(GraphLoader(ds.graphs[:8], spec, 8)))
+
+    single = MolKGNNNet(
+        num_layers=1, kernels_1hop=(2, 3, 4, 5), kernels_nhop=(2, 3, 4, 5),
+        graph_embedding_dim=8,
+    )
+    variables = single.init(jax.random.key(0), batch)
+    want = np.asarray(single.apply(variables, batch))
+
+    sharded_model = MolKGNNNet(
+        num_layers=1, kernels_1hop=(2, 3, 4, 5), kernels_nhop=(2, 3, 4, 5),
+        graph_embedding_dim=8, psum_axis="graph",
+    )
+    mesh = Mesh(np.array(jax.devices()[:4]), ("graph",))
+    part = partition_batch(batch, 4)
+    got = np.asarray(
+        edge_parallel_forward(sharded_model, mesh)(variables, part)
+    )
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
