@@ -402,6 +402,53 @@ class Trainer:
         )
 
     # ------------------------------------------------------------------
+    def save_state(self, path: str) -> None:
+        """Full-state checkpoint (params, batch stats, optimizer state,
+        RNG, step, best-metric table) for mid-training resume — a framework
+        extension beyond the reference's eval-time-only checkpoints
+        (SURVEY §5: "No mid-epoch resume")."""
+        from flax import serialization
+
+        payload = {
+            "step": self.state.step,
+            "params": self.state.params,
+            "batch_stats": self.state.batch_stats,
+            "opt_state": self.state.opt_state,
+            "rng": jax.random.key_data(self.state.rng),
+            "epochs_done": np.asarray(len(self.history)),
+            "best": {k: np.asarray(v) for k, v in self.best.items()},
+        }
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        with open(path + ".state.msgpack", "wb") as f:
+            f.write(serialization.to_bytes(payload))
+
+    def load_state(self, path: str) -> None:
+        from flax import serialization
+
+        # Restore INTO the live structures so optax NamedTuple states and
+        # param pytrees keep their exact types (flax state-dict matching).
+        target = {
+            "step": self.state.step,
+            "params": self.state.params,
+            "batch_stats": self.state.batch_stats,
+            "opt_state": self.state.opt_state,
+            "rng": jax.random.key_data(self.state.rng),
+            "epochs_done": np.asarray(0),
+            "best": {},
+        }
+        with open(path + ".state.msgpack", "rb") as f:
+            raw = serialization.msgpack_restore(f.read())
+        target["best"] = raw.get("best", {})
+        ck = serialization.from_state_dict(target, raw)
+        self.state = self.state.replace(
+            step=jnp.asarray(ck["step"], jnp.int32),
+            params=jax.tree.map(jnp.asarray, ck["params"]),
+            batch_stats=jax.tree.map(jnp.asarray, ck["batch_stats"]),
+            opt_state=ck["opt_state"],
+            rng=jax.random.wrap_key_data(jnp.asarray(ck["rng"])),
+        )
+        self.best = {k: float(v) for k, v in ck.get("best", {}).items()}
+
     def save_kernels(self, out_dir: str):
         """Dump the first layer's learned kernels (reference
         model.py:417-431 saves layer-0 trainable_kernelconv_set) for the

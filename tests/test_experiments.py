@@ -188,3 +188,30 @@ def test_d4dchp_dataset(tmp_path):
     assert ds.metrics == ["accuracy"]
     assert len(ds.split["train"]) == 4
     assert ds.graphs[0].y in (0.0, 1.0)
+
+
+def test_preprocess_driver(tmp_path):
+    """Parallel cache-building driver (C17) over the smoke AID."""
+    from molkgnn_tpu.chem.embed import embed_molecule
+    from molkgnn_tpu.chem.sdf import write_sdf
+    from molkgnn_tpu.chem.smiles import parse_smiles
+    from molkgnn_tpu.data.preprocess import preprocess_all
+
+    def mk(s, seed):
+        m = parse_smiles(s, add_hs=True)
+        pos = embed_molecule(m, seed=seed, iterations=40)
+        for i, a in enumerate(m.atoms):
+            a.x, a.y, a.z = map(float, pos[i])
+        return m
+
+    raw = tmp_path / "raw"
+    raw.mkdir()
+    write_sdf(str(raw / "9999_actives_new.sdf"), [mk("CCO", 0), mk("CCN", 1)])
+    write_sdf(str(raw / "9999_inactives_new.sdf"), [mk("CCC", 2), mk("CCS", 3)])
+    records = preprocess_all(str(tmp_path), datasets=["9999"], processes=1)
+    assert records[0]["status"] == "ok"
+    assert records[0]["num_graphs"] == 4
+    assert (tmp_path / "processed" / "kgnn-9999-3D-native.npz").exists()
+    # Second run hits the cache (still ok, fast).
+    records = preprocess_all(str(tmp_path), datasets=["9999"], processes=1)
+    assert records[0]["status"] == "ok"

