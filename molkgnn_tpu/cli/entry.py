@@ -272,6 +272,7 @@ def main(argv=None):
         seed=args.seed,
         oversample=args.enable_oversampling_with_replacement,
         train_metric=args.train_metric,
+        record_valid_pred=args.record_valid_pred,
         log_dir=log_dir,
         checkpoint_dir=os.path.join(args.default_root_dir, "checkpoints"),
     )

@@ -86,6 +86,25 @@ def split_checksum(split: Dict[str, List[int]]) -> str:
     ).hexdigest()
 
 
+def save_split(
+    split: Dict[str, List[int]], path: str, torch_format: bool = True
+) -> str:
+    """Persist a split + its MD5 ``.checksum`` sidecar (the reference's
+    artifact layout, utils/data_split.py:58-63). ``torch_format`` writes a
+    torch pickle readable by the reference; otherwise an npz."""
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    if torch_format:
+        import torch
+
+        torch.save(split, path)
+    else:
+        np.savez(path, **{k: np.asarray(v) for k, v in split.items()})
+    digest = split_checksum(split)
+    with open(path + ".checksum", "w") as f:
+        f.write(digest)
+    return digest
+
+
 def load_reference_split(path: str) -> Dict[str, List[int]]:
     """Load a shipped ``data_split/*.pt`` artifact (torch pickle)."""
     import torch

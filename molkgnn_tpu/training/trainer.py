@@ -68,6 +68,10 @@ class TrainConfig:
     checkpoint_dir: Optional[str] = None
     tot_iterations: Optional[int] = None  # derived like entry.py:97-101
     progress: bool = True
+    # Dump per-epoch validation predictions to
+    # log_dir/valid_predictions/epoch_N (reference --record_valid_pred,
+    # model.py:262-268).
+    record_valid_pred: bool = False
     # Keep the flat-packed dataset in HBM and assemble batches on device
     # from sampled graph ids (graphs/device_pack.py). Enabled automatically
     # for the default (kgnn) batch family on a single device; per-step
@@ -343,6 +347,13 @@ class Trainer:
             train_loss = float(jnp.mean(jnp.stack(losses)))
 
             results = self.evaluate("valid")
+            if cfg.record_valid_pred:
+                true_y, pred_y = self._predict(self.dataset.subset("valid"))
+                pred_dir = os.path.join(cfg.log_dir, "valid_predictions")
+                os.makedirs(pred_dir, exist_ok=True)
+                with open(os.path.join(pred_dir, f"epoch_{epoch}"), "w") as f:
+                    for pv, tv in zip(pred_y, true_y):
+                        f.write(f"{pv},{tv}\n")
             if cfg.train_metric:
                 for k, v in self.evaluate("train").items():
                     results[f"{k}_no_dropout"] = v

@@ -1,0 +1,120 @@
+"""End-to-end learning quality tests on structurally-labeled synthetic data.
+
+These are the framework's answer to "does it actually train": labels are
+deterministic functions of graph structure, so a correct implementation must
+reach high AUC — including a pure-chirality task that is unsolvable without
+the tetrahedral-sign machinery (mirror pairs share every feature and
+distance; only orientation differs).
+"""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+from molkgnn_tpu.data.dataset import Dataset, QSAR_METRICS
+from molkgnn_tpu.data.synthetic import random_molgraph
+from molkgnn_tpu.graphs import spec_for_graphs
+from molkgnn_tpu.models import MolKGNNNet
+from molkgnn_tpu.training import GNNModel, TrainConfig, Trainer
+
+
+def _dataset(graphs, n_train):
+    n = len(graphs)
+    return Dataset(
+        name="learnable",
+        graphs=graphs,
+        split={
+            "train": np.arange(n_train),
+            "valid": np.arange(n_train, n),
+            "test": np.arange(n_train, n),
+        },
+        metrics=list(QSAR_METRICS),
+        loss_name="bce_with_logits",
+    )
+
+
+def test_learns_neighborhood_motif():
+    """Positives carry a planted 4-neighbor feature motif around a degree-4
+    center — exactly the pattern class the kernel conv is built to match
+    (best-permutation mean-cosine against learned supports)."""
+    rng = np.random.default_rng(0)
+    motifs = rng.standard_normal((4, 28)).astype(np.float32) * 2
+    graphs = []
+    while len(graphs) < 192:
+        g = random_molgraph(rng, num_atoms=16)
+        f4 = g.fields[4]
+        if f4.count < 1:
+            continue
+        y = float(rng.random() < 0.5)
+        if y == 1.0:
+            nei = f4.nei_index[0]
+            for k in range(4):
+                g.x[int(nei[k])] = motifs[k] + 0.3 * rng.standard_normal(
+                    28
+                ).astype(np.float32)
+            g.fields = None
+            g = g.with_fields()
+        g.y = y
+        graphs.append(g)
+
+    ds = _dataset(graphs, 144)
+    spec = spec_for_graphs(graphs, batch_size=24)
+    model = GNNModel(
+        encoder=MolKGNNNet(
+            num_layers=1, kernels_1hop=(2, 2, 2, 8), kernels_nhop=(2, 2, 2, 8),
+            graph_embedding_dim=16,
+        ),
+        ffn_dropout_rate=0.0,
+    )
+    cfg = TrainConfig(
+        batch_size=24, max_epochs=30, peak_lr=1e-2, warmup_iterations=10,
+        weight_decay=1e-4, oversample=False, progress=False,
+    )
+    trainer = Trainer(model, ds, spec, cfg)
+    trainer.fit()
+    auc = max(h["AUC"] for h in trainer.history)
+    assert auc > 0.8, f"motif not learned: best AUC {auc}"
+
+
+def test_learns_chirality_rule():
+    """Mirror-pair dataset: each molecule appears twice, once mirrored, with
+    opposite labels = sign of the tetrahedral determinant at its (unique)
+    degree-4 center. Features and all pairwise distances are identical
+    within a pair — ONLY the chirality sign distinguishes them."""
+    rng = np.random.default_rng(1)
+    graphs = []
+    while len(graphs) < 96:
+        g = random_molgraph(rng, num_atoms=12)
+        f4 = g.fields[4]
+        if f4.count != 1:
+            continue
+        focal = int(f4.focal_index[0])
+        nei = f4.nei_index[0]
+        pc = g.p[nei] - g.p[focal]
+        det = float(np.dot(pc[2], np.cross(pc[0], pc[1])))
+        if abs(det) < 0.05:
+            continue
+        g.y = float(det > 0)
+        mirrored = dataclasses.replace(g, p=-g.p.copy(), y=float(det < 0))
+        mirrored.fields = None  # receptive fields are position-independent
+        graphs.append(g)
+        graphs.append(mirrored.with_fields())
+
+    ds = _dataset(graphs, 72)
+    spec = spec_for_graphs(graphs, batch_size=24)
+    model = GNNModel(
+        encoder=MolKGNNNet(
+            num_layers=1, kernels_1hop=(2, 2, 2, 12),
+            kernels_nhop=(2, 2, 2, 12), graph_embedding_dim=16,
+        ),
+        ffn_dropout_rate=0.0,
+    )
+    cfg = TrainConfig(
+        batch_size=24, max_epochs=40, peak_lr=1e-2, warmup_iterations=10,
+        weight_decay=0.0, oversample=False, progress=False,
+    )
+    trainer = Trainer(model, ds, spec, cfg)
+    trainer.fit()
+    auc = max(h["AUC"] for h in trainer.history)
+    assert auc > 0.8, f"chirality rule not learned: best AUC {auc}"

@@ -120,3 +120,21 @@ def test_load_qsar_dataset_end_to_end(qsar_root):
     )
     ds2 = load_qsar_dataset(qsar_root, "9999", seed=2, shrink=True)
     assert len(ds2.graphs) == len(ds.graphs)
+
+
+def test_save_split_checksum_matches_reference_artifact(tmp_path):
+    """Round-trip our writer and compare the checksum file with the
+    shipped reference sidecar."""
+    ref = "/root/reference/data_split/shrink_9999_seed2.pt.checksum"
+    if not os.path.exists(ref):
+        pytest.skip("reference artifacts not mounted")
+    from molkgnn_tpu.data.qsar import save_split
+
+    split = make_split(37, 226, seed=2, shrink=True)
+    digest = save_split(split, str(tmp_path / "shrink_9999_seed2.pt"))
+    assert digest == open(ref).read().strip()
+    # And the written artifact loads back identically.
+    from molkgnn_tpu.data.qsar import load_reference_split
+
+    loaded = load_reference_split(str(tmp_path / "shrink_9999_seed2.pt"))
+    assert loaded == split
