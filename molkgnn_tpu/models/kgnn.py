@@ -70,6 +70,9 @@ class KernelConv(nn.Module):
     edge_dim: int
     pos_dim: int = 3
     init_sc_weight: float = 0.2
+    # Reduced-precision MXU contraction for the permutation scoring
+    # ('bfloat16' halves scoring bandwidth; accumulation stays fp32).
+    matmul_dtype: str | None = None
     # Fused Pallas scoring (matmul + max/argmax over permutations in VMEM,
     # ops/pallas_kernels.py): bitwise-identical to the XLA path, ~20%
     # faster at large M on TPU. Off by default (XLA path runs everywhere).
@@ -122,13 +125,17 @@ class KernelConv(nn.Module):
             best_sc, best_idx = fused_support_score(a, b)
             best_sc = best_sc / d
         else:
-            support_sc = neighborhood_similarity(x_nei, xs_perm)  # [M, L, P]
+            support_sc = neighborhood_similarity(
+                x_nei, xs_perm, matmul_dtype=self._mmdtype()
+            )  # [M, L, P]
             best_sc = jnp.max(support_sc, axis=2)  # [M, L]
             best_idx = jnp.argmax(support_sc, axis=2)  # [M, L]
 
         # --- edge-attribute score at the best alignment ---
         es_perm = edge_attr_support[:, perms, :]  # [L, P, d, Fe]
-        edge_sc_all = neighborhood_similarity(e_nei, es_perm)  # [M, L, P]
+        edge_sc_all = neighborhood_similarity(
+            e_nei, es_perm, matmul_dtype=self._mmdtype()
+        )  # [M, L, P]
         edge_sc = jnp.take_along_axis(
             edge_sc_all, best_idx[:, :, None], axis=2
         )[:, :, 0]
@@ -149,6 +156,9 @@ class KernelConv(nn.Module):
             )
 
         return jnp.where(mask[:, None], sc, 0.0)
+
+    def _mmdtype(self):
+        return jnp.dtype(self.matmul_dtype) if self.matmul_dtype else None
 
     @staticmethod
     def _chirality_sign(
@@ -215,6 +225,7 @@ class KernelSetConv(nn.Module):
     # (parallel/edge_partition.py).
     psum_axis: str | None = None
     use_pallas: bool = False
+    matmul_dtype: str | None = None
 
     @nn.compact
     def __call__(
@@ -235,6 +246,7 @@ class KernelSetConv(nn.Module):
                 edge_dim=self.edge_dim,
                 pos_dim=self.pos_dim,
                 use_pallas=self.use_pallas,
+                matmul_dtype=self.matmul_dtype,
                 name=f"kernelconv{d}",
             )
             sc = conv(
@@ -274,6 +286,7 @@ class MolGCN(nn.Module):
     pos_dim: int = 3
     psum_axis: str | None = None
     use_pallas: bool = False
+    matmul_dtype: str | None = None
 
     @nn.compact
     def __call__(self, batch: GraphBatch, x: jnp.ndarray) -> jnp.ndarray:
@@ -288,6 +301,7 @@ class MolGCN(nn.Module):
                 pos_dim=self.pos_dim,
                 psum_axis=self.psum_axis,
                 use_pallas=self.use_pallas,
+                matmul_dtype=self.matmul_dtype,
                 name=f"layer{i}",
             )
             sc = layer(
@@ -333,6 +347,7 @@ class MolKGNNNet(nn.Module):
     drop_ratio: float = 0.0
     psum_axis: str | None = None
     use_pallas: bool = False
+    matmul_dtype: str | None = None
 
     @nn.compact
     def __call__(
@@ -355,6 +370,7 @@ class MolKGNNNet(nn.Module):
             pos_dim=self.pos_dim,
             psum_axis=self.psum_axis,
             use_pallas=self.use_pallas,
+            matmul_dtype=self.matmul_dtype,
             name="gnn",
         )(batch, x)
 

@@ -36,13 +36,20 @@ def cosine_matrix(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
 
 
 def neighborhood_similarity(
-    nei: jnp.ndarray, support_perm: jnp.ndarray
+    nei: jnp.ndarray,
+    support_perm: jnp.ndarray,
+    matmul_dtype: jnp.dtype | None = None,
 ) -> jnp.ndarray:
     """Mean-over-neighbors cosine score for every (node, kernel, permutation).
 
     Args:
       nei: [M, d, F] neighborhood attributes (node or edge features).
       support_perm: [L, P, d, F] permuted kernel supports.
+      matmul_dtype: optional reduced precision (e.g. bfloat16) for the MXU
+        contraction; normalization stays in fp32 and accumulation is fp32
+        (preferred_element_type), so only the mantissa of the normalized
+        operands is rounded (~3 decimal digits — plenty for cosine scores
+        whose useful range is [-1, 1]).
 
     Returns:
       [M, L, P] scores: mean_d cos(nei[m, d], support_perm[l, p, d]).
@@ -51,5 +58,8 @@ def neighborhood_similarity(
     l, p = support_perm.shape[0], support_perm.shape[1]
     a = normalize_rows(nei).reshape(m, d * f)
     b = normalize_rows(support_perm).reshape(l * p, d * f)
+    if matmul_dtype is not None:
+        a = a.astype(matmul_dtype)
+        b = b.astype(matmul_dtype)
     sc = jnp.dot(a, b.T, preferred_element_type=jnp.float32) / d
     return sc.reshape(m, l, p)

@@ -1,0 +1,131 @@
+"""Inference / serving path: checkpoint -> compiled predictor.
+
+The reference has no serving story (training scripts only); this is the
+framework's production inference surface:
+
+  * one compiled forward per BatchSpec (padding makes every request shape
+    identical, so the first call compiles and every later call is pure
+    execution);
+  * SMILES-in, scores-out convenience (native featurization + embedding);
+  * chunked batching for arbitrarily many molecules;
+  * sigmoid-probability or raw-logit output (the reference thresholds
+    sigmoid(logit) at 0.5 for PPV/accuracy, evaluation.py:90-121).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from molkgnn_tpu.graphs.batch import BatchSpec, batch_graphs
+from molkgnn_tpu.graphs.molgraph import MolGraph
+
+
+class Predictor:
+    """Wraps a trained GNNModel + params for fixed-shape batched inference."""
+
+    def __init__(
+        self,
+        model,
+        params,
+        batch_stats,
+        spec: BatchSpec,
+        collate=None,
+    ):
+        self.model = model
+        self.variables = {"params": params, "batch_stats": batch_stats}
+        self.spec = spec
+        self.collate = collate or batch_graphs
+
+        def forward(variables, batch):
+            pred, emb = model.apply(variables, batch, train=False)
+            return pred, emb
+
+        self._forward = jax.jit(forward)
+
+    @classmethod
+    def from_trainer(cls, trainer, tag: str = "last") -> "Predictor":
+        ck = trainer._ckpts.get(tag)
+        params = (
+            jax.tree.map(jnp.asarray, ck["params"])
+            if ck is not None
+            else trainer.state.params
+        )
+        stats = (
+            jax.tree.map(jnp.asarray, ck["batch_stats"])
+            if ck is not None
+            else trainer.state.batch_stats
+        )
+        return cls(
+            trainer.model, params, stats, trainer.spec, collate=trainer.collate
+        )
+
+    @classmethod
+    def from_checkpoint(
+        cls, model, path: str, spec: BatchSpec, collate=None
+    ) -> "Predictor":
+        from molkgnn_tpu.training.checkpoint import load_checkpoint
+
+        ck = load_checkpoint(path)
+        return cls(
+            model,
+            jax.tree.map(jnp.asarray, ck["params"]),
+            jax.tree.map(jnp.asarray, ck["batch_stats"]),
+            spec,
+            collate=collate,
+        )
+
+    # ------------------------------------------------------------------
+    def predict_graphs(
+        self,
+        graphs: Sequence[MolGraph],
+        probabilities: bool = False,
+        return_embeddings: bool = False,
+    ):
+        b = self.spec.num_graphs
+        scores: List[np.ndarray] = []
+        embs: List[np.ndarray] = []
+        for start in range(0, len(graphs), b):
+            chunk = list(graphs[start : start + b])
+            batch = self.collate(chunk, self.spec)
+            pred, emb = self._forward(self.variables, batch)
+            m = np.asarray(batch.graph_mask)
+            scores.append(np.asarray(pred)[m])
+            if return_embeddings:
+                embs.append(np.asarray(emb)[m])
+        out = np.concatenate(scores) if scores else np.zeros((0,))
+        if probabilities:
+            out = 1.0 / (1.0 + np.exp(-out))
+        if return_embeddings:
+            return out, np.concatenate(embs) if embs else np.zeros((0, 0))
+        return out
+
+    def predict_smiles(
+        self,
+        smiles: Sequence[str],
+        probabilities: bool = False,
+        embed_seed: int = 42,
+    ) -> np.ndarray:
+        """SMILES -> scores; unparseable molecules get NaN (positions are
+        preserved)."""
+        from molkgnn_tpu.chem.embed import smiles_to_graph
+
+        graphs: List[Optional[MolGraph]] = [
+            smiles_to_graph(s, seed=embed_seed) for s in smiles
+        ]
+        valid = [g for g in graphs if g is not None]
+        scores = (
+            self.predict_graphs(valid, probabilities=probabilities)
+            if valid
+            else np.zeros((0,))
+        )
+        out = np.full(len(smiles), np.nan)
+        k = 0
+        for i, g in enumerate(graphs):
+            if g is not None:
+                out[i] = scores[k]
+                k += 1
+        return out

@@ -88,3 +88,24 @@ def test_masked_rows_zero():
     out = np.asarray(conv.apply(params, *inputs, mask, False))
     assert np.all(out[4:] == 0)
     assert np.all(out[:4] != 0)
+
+
+def test_bf16_matmul_close_to_fp32():
+    """matmul_dtype='bfloat16' scores stay within bf16 rounding of fp32."""
+    from molkgnn_tpu.data.dataset import GraphLoader, make_synthetic_dataset
+    from molkgnn_tpu.graphs import spec_for_graphs
+    from molkgnn_tpu.models.kgnn import MolKGNNNet
+
+    ds = make_synthetic_dataset(seed=6, num_graphs=8)
+    spec = spec_for_graphs(ds.graphs, batch_size=4)
+    batch = next(iter(GraphLoader(ds.graphs[:4], spec, 4)))
+    m32 = MolKGNNNet(num_layers=2, kernels_1hop=(2, 3, 4, 5),
+                     kernels_nhop=(2, 3, 4, 5), graph_embedding_dim=8)
+    mbf = MolKGNNNet(num_layers=2, kernels_1hop=(2, 3, 4, 5),
+                     kernels_nhop=(2, 3, 4, 5), graph_embedding_dim=8,
+                     matmul_dtype="bfloat16")
+    v = m32.init(jax.random.key(0), batch)
+    out32 = np.asarray(m32.apply(v, batch))
+    outbf = np.asarray(mbf.apply(v, batch))
+    # bf16 has ~3 decimal digits; scores are O(1) pre-pooling, sums O(10).
+    np.testing.assert_allclose(outbf, out32, rtol=0.05, atol=0.15)

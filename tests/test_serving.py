@@ -1,0 +1,64 @@
+"""Serving path + determinism tests."""
+
+import numpy as np
+
+from molkgnn_tpu.data.dataset import make_synthetic_dataset
+from molkgnn_tpu.graphs import spec_for_graphs
+from molkgnn_tpu.models import MolKGNNNet
+from molkgnn_tpu.serving import Predictor
+from molkgnn_tpu.training import GNNModel, TrainConfig, Trainer
+
+
+def _trained(tmp_path, seed=0):
+    ds = make_synthetic_dataset(seed=seed, num_graphs=48, active_fraction=0.3)
+    spec = spec_for_graphs(ds.graphs, batch_size=8)
+    model = GNNModel(
+        encoder=MolKGNNNet(
+            num_layers=1, kernels_1hop=(2, 2, 2, 2), kernels_nhop=(2, 2, 2, 2),
+            graph_embedding_dim=8,
+        ),
+        ffn_dropout_rate=0.0,
+    )
+    cfg = TrainConfig(
+        batch_size=8, max_epochs=2, warmup_iterations=3, oversample=True,
+        progress=False, log_dir=str(tmp_path / "logs"),
+    )
+    trainer = Trainer(model, ds, spec, cfg)
+    trainer.fit()
+    return ds, trainer
+
+
+def test_predictor_from_trainer(tmp_path):
+    ds, trainer = _trained(tmp_path)
+    pred = Predictor.from_trainer(trainer, tag="last")
+    graphs = ds.subset("test")
+    scores = pred.predict_graphs(graphs)
+    assert scores.shape == (len(graphs),)
+    probs = pred.predict_graphs(graphs, probabilities=True)
+    assert np.all((probs >= 0) & (probs <= 1))
+    # Chunking: many molecules through a small spec.
+    many = ds.graphs * 2  # 96 molecules, batch capacity 8
+    s_many = pred.predict_graphs(many)
+    assert s_many.shape == (96,)
+    np.testing.assert_allclose(s_many[: len(ds.graphs)], s_many[len(ds.graphs):],
+                               rtol=1e-5, atol=1e-6)
+    # Embeddings surface
+    s, emb = pred.predict_graphs(graphs[:3], return_embeddings=True)
+    assert emb.shape == (3, 8)
+
+
+def test_predictor_smiles_with_invalid(tmp_path):
+    _, trainer = _trained(tmp_path)
+    pred = Predictor.from_trainer(trainer)
+    out = pred.predict_smiles(["CCO", "not_a_smiles((", "c1ccccc1"])
+    assert np.isfinite(out[0]) and np.isfinite(out[2])
+    assert np.isnan(out[1])
+
+
+def test_training_is_deterministic(tmp_path):
+    """Same seed + same data => identical history metrics (golden check)."""
+    _, t1 = _trained(tmp_path / "a", seed=3)
+    _, t2 = _trained(tmp_path / "b", seed=3)
+    for h1, h2 in zip(t1.history, t2.history):
+        for k in ("train_loss", "loss", "AUC"):
+            np.testing.assert_allclose(h1[k], h2[k], rtol=1e-6)
