@@ -86,22 +86,107 @@ class Predictor:
         return_embeddings: bool = False,
     ):
         b = self.spec.num_graphs
-        scores: List[np.ndarray] = []
-        embs: List[np.ndarray] = []
+        dev_scores: List = []
+        dev_embs: List = []
+        masks: List[np.ndarray] = []
         for start in range(0, len(graphs), b):
             chunk = list(graphs[start : start + b])
             batch = self.collate(chunk, self.spec)
             pred, emb = self._forward(self.variables, batch)
-            m = np.asarray(batch.graph_mask)
-            scores.append(np.asarray(pred)[m])
+            masks.append(np.asarray(batch.graph_mask))
+            dev_scores.append(pred)
             if return_embeddings:
-                embs.append(np.asarray(emb)[m])
+                dev_embs.append(emb)
+        # Single device->host readback (tunneled-TPU friendliness).
+        mask = np.concatenate(masks) if masks else np.zeros((0,), bool)
+        scores = (
+            [np.asarray(jnp.concatenate(dev_scores))[mask]]
+            if dev_scores
+            else []
+        )
+        embs = (
+            [np.asarray(jnp.concatenate(dev_embs))[mask]] if dev_embs else []
+        )
         out = np.concatenate(scores) if scores else np.zeros((0,))
         if probabilities:
             out = 1.0 / (1.0 + np.exp(-out))
         if return_embeddings:
             return out, np.concatenate(embs) if embs else np.zeros((0, 0))
         return out
+
+    # ------------------------------------------------------------------
+    def export(self, path: str) -> None:
+        """AOT-export the compiled forward (StableHLO via jax.export) plus
+        the parameters: a deployment artifact loadable without the model
+        code (`Predictor.load_exported`)."""
+        import pickle
+
+        from jax import export as jexport
+
+        from molkgnn_tpu.graphs.batch import GraphBatch
+
+        # jax.export serializes only standard pytrees, so the GraphBatch
+        # is flattened to leaves at the boundary (treedef is closed over
+        # during tracing; the StableHLO sees plain arrays).
+        example = self._zero_batch()
+        leaves, treedef = jax.tree_util.tree_flatten(example)
+        model = self.model
+
+        def forward(variables, *batch_leaves):
+            batch = jax.tree_util.tree_unflatten(treedef, batch_leaves)
+            pred, emb = model.apply(variables, batch, train=False)
+            return pred, emb
+
+        args_spec = (
+            jax.tree.map(
+                lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype),
+                self.variables,
+            ),
+            *[
+                jax.ShapeDtypeStruct(np.shape(a), np.asarray(a).dtype)
+                for a in leaves
+            ],
+        )
+        exported = jexport.export(jax.jit(forward))(*args_spec)
+        with open(path, "wb") as f:
+            pickle.dump(
+                {
+                    "stablehlo": exported.serialize(),
+                    "variables": jax.tree.map(np.asarray, self.variables),
+                    "spec": self.spec,
+                },
+                f,
+            )
+
+    @staticmethod
+    def load_exported(path: str):
+        """Load an exported artifact; returns (callable(batch)->(pred, emb),
+        spec). No model code needed."""
+        import pickle
+
+        from jax import export as jexport
+
+        with open(path, "rb") as f:
+            payload = pickle.load(f)
+        fn = jexport.deserialize(payload["stablehlo"])
+        variables = jax.tree.map(jnp.asarray, payload["variables"])
+
+        def call(batch):
+            leaves = jax.tree_util.tree_leaves(batch)
+            return fn.call(variables, *leaves)
+
+        return call, payload["spec"]
+
+    def _zero_batch(self):
+        # Minimal two-atom molecule: enough to materialize every batch
+        # field at the spec's static shapes.
+        g = MolGraph(
+            x=np.zeros((2, self.spec.node_dim), np.float32),
+            p=np.zeros((2, self.spec.pos_dim), np.float32),
+            edge_index=np.array([[0, 1], [1, 0]], np.int32),
+            edge_attr=np.zeros((2, self.spec.edge_dim), np.float32),
+        )
+        return self.collate([g], self.spec)
 
     def predict_smiles(
         self,

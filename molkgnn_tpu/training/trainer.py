@@ -274,15 +274,20 @@ class Trainer:
             graphs, self.spec, self.config.batch_size, shuffle=False,
             collate=self.collate,
         )
-        preds, trues = [], []
+        # Keep per-batch predictions on device and read back ONCE at the
+        # end: first-touch D2H readbacks are seconds-slow on tunneled TPUs
+        # (see ARCHITECTURE.md), so per-batch np.asarray would dominate
+        # evaluation. Masks/labels come from the host-side batch.
+        dev_preds, masks, trues = [], [], []
         for batch in loader:
-            p = np.asarray(
+            dev_preds.append(
                 self._eval_step(self.state.params, self.state.batch_stats, batch)
             )
-            m = np.asarray(batch.graph_mask)
-            preds.append(p[m])
-            trues.append(np.asarray(batch.y)[m])
-        return np.concatenate(trues), np.concatenate(preds)
+            masks.append(np.asarray(batch.graph_mask))
+            trues.append(np.asarray(batch.y))
+        all_pred = np.asarray(jnp.concatenate(dev_preds))
+        mask = np.concatenate(masks)
+        return np.concatenate(trues)[mask], all_pred[mask]
 
     def evaluate(self, part: str = "valid") -> Dict[str, float]:
         true_y, pred_y = self._predict(self.dataset.subset(part))
@@ -488,7 +493,7 @@ class Trainer:
             graphs, self.spec, self.config.batch_size, shuffle=False,
             collate=self.collate,
         )
-        embs = []
+        dev_embs, masks = [], []
         for batch in loader:
             _, emb = self.model.apply(
                 {
@@ -498,10 +503,12 @@ class Trainer:
                 batch,
                 train=False,
             )
-            embs.append(np.asarray(emb)[np.asarray(batch.graph_mask)])
+            dev_embs.append(emb)
+            masks.append(np.asarray(batch.graph_mask))
+        all_emb = np.asarray(jnp.concatenate(dev_embs))
         np.save(
             os.path.join(out_dir, "graph_embedding.npy"),
-            np.concatenate(embs),
+            all_emb[np.concatenate(masks)],
         )
         with open(
             os.path.join(out_dir, "smiles_for_graph_embedding.txt"), "w"

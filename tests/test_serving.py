@@ -62,3 +62,23 @@ def test_training_is_deterministic(tmp_path):
     for h1, h2 in zip(t1.history, t2.history):
         for k in ("train_loss", "loss", "AUC"):
             np.testing.assert_allclose(h1[k], h2[k], rtol=1e-6)
+
+
+def test_export_roundtrip(tmp_path):
+    """AOT export -> load without model code -> identical predictions."""
+    ds, trainer = _trained(tmp_path, seed=5)
+    pred = Predictor.from_trainer(trainer)
+    graphs = ds.subset("test")[:4]
+    want = pred.predict_graphs(graphs)
+
+    path = str(tmp_path / "model.export")
+    pred.export(path)
+    call, spec = Predictor.load_exported(path)
+    from molkgnn_tpu.graphs.batch import batch_graphs
+
+    batch = batch_graphs(graphs, spec)
+    import jax
+
+    out, emb = call(jax.tree.map(lambda a: np.asarray(a), batch))
+    got = np.asarray(out)[np.asarray(batch.graph_mask)]
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
