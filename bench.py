@@ -21,11 +21,44 @@ of the PyTorch reference replaces it.
 """
 
 import json
+import os
+import threading
 import time
 
 import numpy as np
 
 BASELINE_EDGES_PER_S = 2.3e4
+
+# Watchdog: the dev environment reaches the TPU through a relay that can
+# wedge if a previous process died holding the grant; a hung device op
+# cannot be interrupted in-process. If the bench makes no progress for
+# WATCHDOG_S seconds, emit a diagnostic line and hard-exit instead of
+# hanging the driver.
+WATCHDOG_S = 480
+_progress = {"t": time.time()}
+
+
+def _tick():
+    _progress["t"] = time.time()
+
+
+def _watchdog():
+    while True:
+        time.sleep(15)
+        if time.time() - _progress["t"] > WATCHDOG_S:
+            print(
+                json.dumps(
+                    {
+                        "metric": "train_edges_per_s_molkgnn_4layer_b256_e2e",
+                        "value": 0,
+                        "unit": "edges/s",
+                        "vs_baseline": 0,
+                        "error": "accelerator unresponsive (relay wedged?)",
+                    }
+                ),
+                flush=True,
+            )
+            os._exit(1)
 
 BATCH_SIZE = 256
 BENCH_STEPS = 60
@@ -33,6 +66,7 @@ WARMUP_STEPS = 5
 
 
 def main():
+    threading.Thread(target=_watchdog, daemon=True).start()
     import jax
 
     from molkgnn_tpu.data.dataset import GraphLoader, make_synthetic_dataset
@@ -41,6 +75,7 @@ def main():
     from molkgnn_tpu.models import MolKGNNNet
     from molkgnn_tpu.training import GNNModel, TrainConfig, Trainer
 
+    _tick()
     ds = make_synthetic_dataset(seed=0, num_graphs=4 * BATCH_SIZE)
     spec = spec_for_graphs(ds.graphs, batch_size=BATCH_SIZE)
     model = GNNModel(
@@ -82,9 +117,11 @@ def main():
 
     # Warmup (compile + caches).
     state = trainer.state
+    _tick()
     for _ in range(WARMUP_STEPS):
         state, loss = trainer._train_step(state, next(stream))
     jax.block_until_ready(loss)
+    _tick()
 
     # Device-only step time (pre-staged batch).
     staged = jax.tree.map(jax.numpy.asarray, next(stream))
@@ -120,6 +157,7 @@ def main():
         total_edges += int(edge_counts[host_ids[host_ids >= 0]].sum())
         state, loss = trainer._train_step_ids(state, dev_data, ids)
         steps += 1
+        _tick()
         if steps >= BENCH_STEPS:
             break
     jax.block_until_ready(loss)

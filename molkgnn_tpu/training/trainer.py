@@ -269,6 +269,31 @@ class Trainer:
             # host-side consumer (tunneled-TPU D2H is pathological).
             yield pad_ids(chunk, bs)
 
+    def _predict_ids(self, ids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """Evaluation over the device-resident dataset: only id vectors go
+        host->device; predictions come back in ONE readback."""
+        from molkgnn_tpu.graphs.device_pack import pad_ids
+
+        bs = self.config.batch_size
+        dev_preds, keep = [], []
+        for start in range(0, len(ids), bs):
+            chunk = ids[start : start + bs]
+            dev_preds.append(
+                self._eval_step_ids(
+                    self.state.params,
+                    self.state.batch_stats,
+                    self._device_data,
+                    pad_ids(chunk, bs),
+                )
+            )
+            keep.append(
+                np.arange(bs) < len(chunk)
+            )
+        mask = np.concatenate(keep)
+        pred = np.asarray(jnp.concatenate(dev_preds))[mask]
+        true = np.array([self.dataset.graphs[i].y for i in ids], np.float32)
+        return true, pred
+
     def _predict(self, graphs) -> tuple[np.ndarray, np.ndarray]:
         loader = GraphLoader(
             graphs, self.spec, self.config.batch_size, shuffle=False,
@@ -290,7 +315,12 @@ class Trainer:
         return np.concatenate(trues)[mask], all_pred[mask]
 
     def evaluate(self, part: str = "valid") -> Dict[str, float]:
-        true_y, pred_y = self._predict(self.dataset.subset(part))
+        if self._device_data is not None:
+            true_y, pred_y = self._predict_ids(
+                np.asarray(self.dataset.split[part])
+            )
+        else:
+            true_y, pred_y = self._predict(self.dataset.subset(part))
         results = compute_metrics(self.dataset.metrics, true_y, pred_y)
         # loss on device formula, host-evaluated
         results["loss"] = float(
