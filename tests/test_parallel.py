@@ -108,3 +108,23 @@ def test_edge_partition_matches_single_device():
         edge_parallel_forward(sharded_model, mesh)(variables, part)
     )
     np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+def test_multihost_helpers():
+    from molkgnn_tpu.parallel.multihost import (
+        global_data_mesh,
+        host_shard,
+        local_device_batches,
+    )
+
+    # Single-process semantics: full passthrough.
+    items = list(range(10))
+    assert host_shard(items, process_id=0, process_count=1) == items
+    # 3-way static partition covers everything exactly once.
+    parts = [host_shard(items, process_id=i, process_count=3) for i in range(3)]
+    assert sum(parts, []) == items
+    mesh = global_data_mesh()
+    assert mesh.shape["data"] == len(jax.devices())
+    ids = np.arange(16).reshape(8, 2)
+    local = local_device_batches(ids)
+    assert local.shape == (8, 2)  # single process owns all 8 devices
