@@ -27,6 +27,35 @@ import numpy as np
 from molkgnn_tpu.graphs.molgraph import MolGraph
 
 
+def molecule_geometry(
+    g: MolGraph, cutoff: float, with_triplets: bool, with_torsion: bool
+):
+    """Per-molecule (edges, triplets, quads) with caching on the MolGraph —
+    geometry is static per conformer, so each molecule pays the O(n^2) +
+    enumeration cost once per (cutoff, flags), not once per batch."""
+    key = (float(cutoff), bool(with_triplets), bool(with_torsion))
+    cache = getattr(g, "_geom_cache", None)
+    if cache is None:
+        cache = {}
+        g._geom_cache = cache
+    hit = cache.get(key)
+    if hit is not None:
+        return hit
+    e = radius_edges(g.p, cutoff)
+    t = (
+        triplet_index(e, g.num_nodes)
+        if (with_triplets or with_torsion)
+        else np.zeros((3, 0), np.int32)
+    )
+    q = (
+        torsion_pairs(e, t, g.num_nodes)
+        if with_torsion
+        else np.zeros((2, 0), np.int32)
+    )
+    cache[key] = (e, t, q)
+    return cache[key]
+
+
 def radius_edges(pos: np.ndarray, cutoff: float) -> np.ndarray:
     """[2, E] directed (j, i) pairs with |pos_j - pos_i| < cutoff, j != i.
     Ordered by target i then source j (PyG radius_graph ordering)."""
@@ -149,14 +178,13 @@ def point_spec_for_graphs(
 
     nodes, edges, tris, quads = [], [], [], []
     for g in graphs:
-        e = radius_edges(g.p, cutoff)
+        e, t, q = molecule_geometry(g, cutoff, with_triplets, with_torsion)
         nodes.append(g.num_nodes)
         edges.append(e.shape[1])
         if with_triplets or with_torsion:
-            t = triplet_index(e, g.num_nodes)
             tris.append(t.shape[1])
             if with_torsion:
-                quads.append(torsion_pairs(e, t, g.num_nodes).shape[1])
+                quads.append(q.shape[1])
     return PointBatchSpec(
         num_graphs=batch_size,
         num_nodes=cap(nodes),
@@ -194,7 +222,9 @@ def batch_points(
 
     n_off = e_off = t_off = q_off = 0
     for bi, g in enumerate(graphs):
-        e = radius_edges(g.p, spec.cutoff)
+        e, t_all, q_all = molecule_geometry(
+            g, spec.cutoff, spec.with_triplets, spec.with_torsion
+        )
         n, ne = g.num_nodes, e.shape[1]
         if n_off + n > spec.num_nodes or e_off + ne > spec.num_edges:
             raise ValueError("point batch exceeds capacity")
@@ -206,7 +236,7 @@ def batch_points(
         edst[e_off : e_off + ne] = e[1] + n_off
         emask[e_off : e_off + ne] = True
         if spec.with_triplets:
-            t = triplet_index(e, n)
+            t = t_all
             nt = t.shape[1]
             if t_off + nt > spec.num_triplets:
                 raise ValueError("point batch exceeds triplet capacity")
@@ -215,7 +245,7 @@ def batch_points(
             tk[t_off : t_off + nt] = t[2] + n_off
             tmask[t_off : t_off + nt] = True
             if spec.with_torsion:
-                q = torsion_pairs(e, t, n)
+                q = q_all
                 nq = q.shape[1]
                 if q_off + nq > spec.num_quads:
                     raise ValueError("point batch exceeds quad capacity")
