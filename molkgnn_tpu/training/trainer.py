@@ -72,6 +72,11 @@ class TrainConfig:
     # log_dir/valid_predictions/epoch_N (reference --record_valid_pred,
     # model.py:262-268).
     record_valid_pred: bool = False
+    # Gradient hygiene: optional global-norm clipping (the ChIRo standalone
+    # loops clip at 10, gnn_3D/train_functions.py) and a skip-on-nonfinite
+    # guard that drops a diverged step instead of poisoning the params.
+    grad_clip_norm: Optional[float] = None
+    skip_nonfinite_updates: bool = False
     # Keep the flat-packed dataset in HBM and assemble batches on device
     # from sampled graph ids (graphs/device_pack.py). Enabled automatically
     # for the default (kgnn) batch family on a single device; per-step
@@ -135,7 +140,10 @@ class Trainer:
         params = variables["params"]
         batch_stats = variables.get("batch_stats", {})
         self.tx = make_optimizer(
-            params, self.schedule, weight_decay=config.weight_decay
+            params,
+            self.schedule,
+            weight_decay=config.weight_decay,
+            grad_clip_norm=config.grad_clip_norm,
         )
         self.state = TrainState(
             step=jnp.asarray(0, jnp.int32),
@@ -161,6 +169,7 @@ class Trainer:
     # ------------------------------------------------------------------
     def _build_train_step(self) -> Callable:
         model, tx, loss_fn = self.model, self.tx, self.loss_fn
+        skip_nonfinite = self.config.skip_nonfinite_updates
 
         def train_step(
             state: TrainState, batch: GraphBatch, axis_name: str | None = None
@@ -187,6 +196,27 @@ class Trainer:
                 updates = jax.lax.pmean(updates, axis_name)
             up, opt_state = tx.update(grads, state.opt_state, state.params)
             params = optax.apply_updates(state.params, up)
+            if skip_nonfinite:
+                # Drop the whole update when any grad is non-finite; the
+                # step counter still advances so the LR schedule stays on
+                # its budget.
+                finite = jnp.all(
+                    jnp.asarray(
+                        [jnp.all(jnp.isfinite(g)) for g in jax.tree.leaves(grads)]
+                    )
+                )
+                params = jax.tree.map(
+                    lambda new, old: jnp.where(finite, new, old),
+                    params,
+                    state.params,
+                )
+                opt_state = jax.tree.map(
+                    lambda new, old: jnp.where(finite, new, old)
+                    if hasattr(new, "dtype")
+                    else new,
+                    opt_state,
+                    state.opt_state,
+                )
             new_state = state.replace(
                 step=state.step + 1,
                 params=params,

@@ -162,3 +162,52 @@ def test_smiles_to_graph_end_to_end():
     assert g.x.shape[1] == NODE_DIM
     assert g.num_nodes == 13  # 6 C + O + 6 H
     assert g.with_fields().fields[3].count == 6  # ring carbons deg 3
+
+
+def test_fused_aromatic_rings_naphthalene():
+    mol = parse_smiles("c1ccc2ccccc2c1", add_hs=True)
+    assert mol is not None
+    carbons = [a for a in mol.atoms if a.symbol == "C"]
+    assert len(carbons) == 10
+    assert all(a.aromatic for a in carbons)
+    # Bridgehead carbons have 3 heavy neighbors and no H.
+    bridge = [
+        i for i, a in enumerate(mol.atoms)
+        if a.symbol == "C"
+        and sum(1 for j, _ in mol.neighbors(i) if mol.atoms[j].symbol == "C") == 3
+    ]
+    assert len(bridge) == 2
+
+
+def test_kekulized_benzene_perceived_aromatic():
+    mol = parse_smiles("C1=CC=CC=C1", add_hs=True)
+    heavy = [a for a in mol.atoms if a.symbol == "C"]
+    assert all(a.aromatic for a in heavy)
+    assert all(
+        b.order == 1.5
+        for b in mol.bonds
+        if mol.atoms[b.a1].symbol == "C" and mol.atoms[b.a2].symbol == "C"
+        and b.in_ring
+    )
+
+
+def test_charged_nitrogen_species():
+    mol = parse_smiles("C[N+](C)(C)C", add_hs=True)  # tetramethylammonium
+    n = [a for a in mol.atoms if a.symbol == "N"][0]
+    assert n.charge == 1
+    assert mol.total_h(mol.atoms.index(n)) == 0
+    mol2 = parse_smiles("[NH4+]", add_hs=True)
+    n2 = [a for a in mol2.atoms if a.symbol == "N"][0]
+    assert n2.charge == 1
+    hs = [a for a in mol2.atoms if a.symbol == "H"]
+    assert len(hs) == 4
+
+
+def test_pyridine_vs_pyrrole_aromaticity():
+    pyridine = parse_smiles("c1ccncc1", add_hs=True)
+    n_py = [i for i, a in enumerate(pyridine.atoms) if a.symbol == "N"][0]
+    assert pyridine.atoms[n_py].aromatic
+    pyrrole = parse_smiles("c1cc[nH]c1", add_hs=True)
+    n_pyr = [i for i, a in enumerate(pyrrole.atoms) if a.symbol == "N"][0]
+    assert pyrrole.atoms[n_pyr].aromatic
+    assert pyrrole.total_h(n_pyr) == 1

@@ -189,3 +189,44 @@ def test_full_state_resume(tmp_path):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-5
         )
+
+
+def test_skip_nonfinite_updates():
+    """A batch that produces NaN loss must not poison the parameters."""
+    import dataclasses
+
+    import jax
+
+    ds = make_synthetic_dataset(seed=12, num_graphs=16, active_fraction=0.5)
+    spec = spec_for_graphs(ds.graphs, batch_size=4)
+    model = GNNModel(
+        encoder=MolKGNNNet(
+            num_layers=1, kernels_1hop=(2, 2, 2, 2), kernels_nhop=(2, 2, 2, 2),
+            graph_embedding_dim=8,
+        ),
+        ffn_dropout_rate=0.0,
+    )
+    cfg = TrainConfig(
+        batch_size=4, max_epochs=1, warmup_iterations=2, oversample=False,
+        progress=False, skip_nonfinite_updates=True, use_device_data=False,
+    )
+    trainer = Trainer(model, ds, spec, cfg)
+    batch = next(iter(GraphLoader(ds.graphs[:4], spec, 4)))
+    poisoned = dataclasses.replace(
+        batch, x=np.full_like(np.asarray(batch.x), np.nan)
+    )
+    # Copy out before stepping: the train step donates the state buffers.
+    before = [np.asarray(x).copy() for x in jax.tree.leaves(trainer.state.params)]
+    state, loss = trainer._train_step(trainer.state, poisoned)
+    after = jax.tree.leaves(state.params)
+    for a, b in zip(before, after):
+        np.testing.assert_array_equal(a, np.asarray(b))
+    assert int(state.step) == 1  # schedule still advances
+    # A clean batch still updates.
+    prev = [np.asarray(x).copy() for x in jax.tree.leaves(state.params)]
+    state2, _ = trainer._train_step(state, batch)
+    changed = any(
+        not np.array_equal(a, np.asarray(b))
+        for a, b in zip(prev, jax.tree.leaves(state2.params))
+    )
+    assert changed
