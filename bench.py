@@ -63,6 +63,12 @@ def _watchdog():
 BATCH_SIZE = 256
 BENCH_STEPS = 60
 WARMUP_STEPS = 5
+# Optimizer steps fused per device dispatch (lax.scan over sampled-id
+# blocks, trainer.scan_steps). The per-dispatch launch latency over the
+# tunneled link is the dominant e2e overhead at this batch size; fusing
+# amortizes it across SCAN_STEPS steps with identical math (parity test:
+# tests/test_training.py::test_scan_steps_match_single_steps).
+SCAN_STEPS = 10
 
 
 def main():
@@ -94,6 +100,7 @@ def main():
         warmup_iterations=300,
         weight_decay=1e-3,
         progress=False,
+        scan_steps=SCAN_STEPS,
     )
     trainer = Trainer(model, ds, spec, cfg)
 
@@ -131,36 +138,40 @@ def main():
     jax.block_until_ready(loss)
     dev_step_ms = (time.perf_counter() - t0) / 20 * 1e3
 
-    # End-to-end (device-resident dataset): per-step host work is sampling
-    # a [B] id vector; batch assembly happens on device (device_pack.py).
+    # End-to-end (device-resident dataset): per-DISPATCH host work is
+    # sampling a [K, B] id block; batch assembly happens on device
+    # (device_pack.py) and lax.scan fuses K optimizer steps per dispatch.
     # Edge counts come from host-side metadata, not device readbacks.
     dev_data = trainer._device_data
     edge_counts = np.array([g.num_edges for g in ds.graphs])
-    id_stream = trainer._epoch_id_batches(cfg)
-    ids0 = next(id_stream)
-    state, loss = trainer._train_step_ids(state, dev_data, ids0)  # compile
-    jax.block_until_ready(loss)
 
-    def endless_ids():
-        nonlocal id_stream
+    def id_blocks():
+        stream = trainer._epoch_id_batches(cfg)
         while True:
-            try:
-                yield next(id_stream)
-            except StopIteration:
-                id_stream = trainer._epoch_id_batches(cfg)
+            block = []
+            while len(block) < SCAN_STEPS:
+                try:
+                    block.append(next(stream))
+                except StopIteration:
+                    stream = trainer._epoch_id_batches(cfg)
+            yield np.stack(block)
+
+    blocks = id_blocks()
+    block0 = next(blocks)
+    state, loss_k = trainer._train_steps_scan(state, dev_data, block0)
+    jax.block_until_ready(loss_k)  # compile
+    _tick()
 
     steps = 0
     total_edges = 0
     t0 = time.perf_counter()
-    for ids in endless_ids():
-        host_ids = np.asarray(ids)
-        total_edges += int(edge_counts[host_ids[host_ids >= 0]].sum())
-        state, loss = trainer._train_step_ids(state, dev_data, ids)
-        steps += 1
+    while steps < BENCH_STEPS:
+        block = next(blocks)
+        total_edges += int(edge_counts[block[block >= 0]].sum())
+        state, loss_k = trainer._train_steps_scan(state, dev_data, block)
+        steps += SCAN_STEPS
         _tick()
-        if steps >= BENCH_STEPS:
-            break
-    jax.block_until_ready(loss)
+    jax.block_until_ready(loss_k)
     dt = time.perf_counter() - t0
 
     edges_per_s = total_edges / dt
@@ -173,6 +184,7 @@ def main():
                 "vs_baseline": round(edges_per_s / BASELINE_EDGES_PER_S, 3),
                 "e2e_step_ms": round(1e3 * dt / BENCH_STEPS, 2),
                 "device_step_ms": round(dev_step_ms, 2),
+                "scan_steps": SCAN_STEPS,
                 "device": str(jax.devices()[0]),
             }
         )

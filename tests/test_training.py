@@ -145,6 +145,45 @@ def test_smoke_training_loss_decreases(tmp_path):
     )
 
 
+def test_scan_steps_match_single_steps(tmp_path):
+    """scan_steps=K fuses K optimizer steps into one dispatch; the math
+    (sampling order, dropout fold-in, AdamW, schedule) must be identical to
+    step-by-step execution, including the non-divisible remainder steps."""
+    import jax
+
+    def run(scan_steps, tag):
+        ds = make_synthetic_dataset(seed=9, num_graphs=40, active_fraction=0.3)
+        spec = spec_for_graphs(ds.graphs, batch_size=8)
+        model = GNNModel(
+            encoder=MolKGNNNet(
+                num_layers=1, kernels_1hop=(2, 3, 2, 3),
+                kernels_nhop=(2, 3, 2, 3), graph_embedding_dim=8,
+            ),
+            ffn_dropout_rate=0.2,
+        )
+        cfg = TrainConfig(
+            batch_size=8, max_epochs=2, warmup_iterations=3,
+            oversample=True, progress=False, scan_steps=scan_steps,
+            log_dir=str(tmp_path / tag),
+        )
+        trainer = Trainer(model, ds, spec, cfg)
+        trainer.fit()
+        return trainer
+
+    single = run(1, "single")
+    # train split is 32 graphs -> 4 steps/epoch; K=3 exercises the
+    # scan block AND the remainder single-step path.
+    fused = run(3, "fused")
+    assert int(fused.state.step) == int(single.state.step)
+    for a, b in zip(
+        jax.tree.leaves(single.state.params),
+        jax.tree.leaves(fused.state.params),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-5
+        )
+
+
 def test_full_state_resume(tmp_path):
     """Training N epochs == training k, save/load full state, train N-k."""
     import jax
