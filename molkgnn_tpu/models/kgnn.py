@@ -77,6 +77,16 @@ class KernelConv(nn.Module):
     # ops/pallas_kernels.py): bitwise-identical to the XLA path, ~20%
     # faster at large M on TPU. Off by default (XLA path runs everywhere).
     use_pallas: bool = False
+    # Human-designed kernel tensors (reference KernelConv ``init_kernel`` /
+    # ``requires_grad``, kernels.py:14-72): a dict with keys x_center
+    # [L, F], x_support [L, d, F], edge_attr_support [L, d, Fe], p_support
+    # [L, d, 3]. With trainable_kernels=False the tensors are baked into
+    # the compiled program as constants (no params, no grads, no optimizer
+    # state); the three score weights remain trainable parameters either
+    # way (reference ``weight_requires_grad`` defaults True even for fixed
+    # sets).
+    init_kernel: dict | None = None
+    trainable_kernels: bool = True
 
     @nn.compact
     def __call__(
@@ -90,12 +100,26 @@ class KernelConv(nn.Module):
         is_last_layer: bool = False,
     ) -> jnp.ndarray:  # [M, L]
         d, L = self.deg, self.num_kernels
-        x_center = self.param("x_center", _randn, (L, self.node_dim))
-        x_support = self.param("x_support", _randn, (L, d, self.node_dim))
-        edge_attr_support = self.param(
-            "edge_attr_support", _randn, (L, d, self.edge_dim)
+
+        def kernel_tensor(name, shape):
+            if self.init_kernel is not None:
+                init_val = np.asarray(self.init_kernel[name], np.float32)
+                if init_val.shape != shape:
+                    raise ValueError(
+                        f"init_kernel[{name!r}]: expected {shape}, "
+                        f"got {init_val.shape}"
+                    )
+                if not self.trainable_kernels:
+                    return jnp.asarray(init_val)  # frozen constant
+                return self.param(name, lambda k, s: jnp.asarray(init_val), shape)
+            return self.param(name, _randn, shape)
+
+        x_center = kernel_tensor("x_center", (L, self.node_dim))
+        x_support = kernel_tensor("x_support", (L, d, self.node_dim))
+        edge_attr_support = kernel_tensor(
+            "edge_attr_support", (L, d, self.edge_dim)
         )
-        p_support = self.param("p_support", _randn, (L, d, self.pos_dim))
+        p_support = kernel_tensor("p_support", (L, d, self.pos_dim))
         # length/angle weights exist in reference checkpoints but never enter
         # the score (kernels.py:72-75; see SURVEY §2.1 note) — kept for
         # checkpoint-shape parity.
@@ -226,6 +250,27 @@ class KernelSetConv(nn.Module):
     psum_axis: str | None = None
     use_pallas: bool = False
     matmul_dtype: str | None = None
+    # Per-degree fixed (human-designed, frozen) kernel sets alongside the
+    # trainable ones (reference BaseKernelSetConv fixed_kernelconv1..4,
+    # kernels.py:451-516): a 4-tuple of Optional[dict] in KernelConv
+    # ``init_kernel`` format. A degree's column block is [fixed; trainable]
+    # in that order (kernels.py:536-545). Load from disk with
+    # analyses.fixed_kernels.load_customized_kernels.
+    fixed_kernels: tuple | None = None
+    # Sow the node-order score matrix into the 'intermediates' collection
+    # (apply(..., mutable=['intermediates'])) — the TPU-native replacement
+    # for the reference's in-forward ``save_score`` CSV hook
+    # (kernels.py:594-608, 748-749): capture on demand, write on host.
+    sow_scores: bool = False
+
+    def block_widths(self) -> Tuple[int, int, int, int]:
+        """Kernel-score columns per degree (fixed + trainable)."""
+        fixed = self.fixed_kernels or (None,) * 4
+        return tuple(
+            (0 if f is None else int(np.asarray(f["x_center"]).shape[0]))
+            + self.num_kernels[d]
+            for d, f in enumerate(fixed)
+        )
 
     @nn.compact
     def __call__(
@@ -236,9 +281,36 @@ class KernelSetConv(nn.Module):
         is_last_layer: bool = False,
     ) -> jnp.ndarray:
         n = x.shape[0]
+        fixed = self.fixed_kernels or (None,) * 4
         blocks = []
         for d in range(1, 5):
             b = buckets[d - 1]
+            inputs = dict(
+                x_focal=x[b.focal_index],
+                p_focal=p[b.focal_index],
+                x_nei=x[b.nei_index],
+                p_nei=p[b.nei_index],
+                e_nei=b.nei_edge_attr,
+                mask=b.mask,
+                is_last_layer=is_last_layer,
+            )
+            scs = []
+            if fixed[d - 1] is not None:
+                fixed_conv = KernelConv(
+                    deg=d,
+                    num_kernels=int(
+                        np.asarray(fixed[d - 1]["x_center"]).shape[0]
+                    ),
+                    node_dim=self.node_dim,
+                    edge_dim=self.edge_dim,
+                    pos_dim=self.pos_dim,
+                    use_pallas=self.use_pallas,
+                    matmul_dtype=self.matmul_dtype,
+                    init_kernel=fixed[d - 1],
+                    trainable_kernels=False,
+                    name=f"fixed_kernelconv{d}",
+                )
+                scs.append(fixed_conv(**inputs))
             conv = KernelConv(
                 deg=d,
                 num_kernels=self.num_kernels[d - 1],
@@ -249,22 +321,17 @@ class KernelSetConv(nn.Module):
                 matmul_dtype=self.matmul_dtype,
                 name=f"kernelconv{d}",
             )
-            sc = conv(
-                x_focal=x[b.focal_index],
-                p_focal=p[b.focal_index],
-                x_nei=x[b.nei_index],
-                p_nei=p[b.nei_index],
-                e_nei=b.nei_edge_attr,
-                mask=b.mask,
-                is_last_layer=is_last_layer,
-            )  # [M_d, L_d], zero on padded rows
+            scs.append(conv(**inputs))  # [M_d, L_d], zero on padded rows
+            sc = scs[0] if len(scs) == 1 else jnp.concatenate(scs, axis=1)
             # Scatter-add into node order; padded rows target node 0 with
             # zero contribution, so .add is exact.
-            block = jnp.zeros((n, self.num_kernels[d - 1]), sc.dtype)
+            block = jnp.zeros((n, sc.shape[1]), sc.dtype)
             blocks.append(block.at[b.focal_index].add(sc))
         out = jnp.concatenate(blocks, axis=1)
         if self.psum_axis is not None:
             out = jax.lax.psum(out, self.psum_axis)
+        if self.sow_scores:
+            self.sow("intermediates", "scores", out)
         return out
 
 
@@ -287,6 +354,11 @@ class MolGCN(nn.Module):
     psum_axis: str | None = None
     use_pallas: bool = False
     matmul_dtype: str | None = None
+    # Fixed kernel sets apply to layer 0 only: human-designed kernels live
+    # in the raw node-feature space; deeper layers consume learned
+    # kernel-score vectors where no designed kernels exist.
+    fixed_kernels: tuple | None = None
+    sow_scores: bool = False
 
     @nn.compact
     def __call__(self, batch: GraphBatch, x: jnp.ndarray) -> jnp.ndarray:
@@ -302,6 +374,8 @@ class MolGCN(nn.Module):
                 psum_axis=self.psum_axis,
                 use_pallas=self.use_pallas,
                 matmul_dtype=self.matmul_dtype,
+                fixed_kernels=self.fixed_kernels if i == 0 else None,
+                sow_scores=self.sow_scores,
                 name=f"layer{i}",
             )
             sc = layer(
@@ -319,7 +393,7 @@ class MolGCN(nn.Module):
             )
             if self.psum_axis is not None:
                 h = jax.lax.psum(h, self.psum_axis)
-            in_dim = sum(counts)
+            in_dim = sum(layer.block_widths())
         return h
 
 
@@ -348,6 +422,8 @@ class MolKGNNNet(nn.Module):
     psum_axis: str | None = None
     use_pallas: bool = False
     matmul_dtype: str | None = None
+    fixed_kernels: tuple | None = None
+    sow_scores: bool = False
 
     @nn.compact
     def __call__(
@@ -371,6 +447,8 @@ class MolKGNNNet(nn.Module):
             psum_axis=self.psum_axis,
             use_pallas=self.use_pallas,
             matmul_dtype=self.matmul_dtype,
+            fixed_kernels=self.fixed_kernels,
+            sow_scores=self.sow_scores,
             name="gnn",
         )(batch, x)
 

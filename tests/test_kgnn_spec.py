@@ -52,6 +52,103 @@ def test_kernelconv_matches_spec(deg):
     np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-6)
 
 
+def test_fixed_kernelconv_matches_spec_and_freezes():
+    """A frozen KernelConv (init_kernel + trainable_kernels=False,
+    reference kernels.py:14-72 ``requires_grad=False``) must score exactly
+    like the spec oracle with the SUPPLIED tensors, and expose only the
+    score weights as parameters."""
+    deg, m, L = 3, 7, 4
+    rng = np.random.default_rng(11)
+    inputs = make_inputs(rng, m, deg)
+    init_kernel = {
+        "x_center": rng.standard_normal((L, F)).astype(np.float32),
+        "x_support": rng.standard_normal((L, deg, F)).astype(np.float32),
+        "edge_attr_support": rng.standard_normal((L, deg, E)).astype(
+            np.float32
+        ),
+        "p_support": rng.standard_normal((L, deg, 3)).astype(np.float32),
+    }
+    conv = KernelConv(
+        deg=deg, num_kernels=L, node_dim=F, edge_dim=E,
+        init_kernel=init_kernel, trainable_kernels=False,
+    )
+    mask = np.ones((m,), bool)
+    params = conv.init(
+        jax.random.key(0), *map(jnp.asarray, inputs), mask, False
+    )
+    assert set(params["params"]) == {
+        "length_sc_weight", "angle_sc_weight", "center_attr_sc_weight",
+        "support_attr_sc_weight", "edge_attr_support_sc_weight",
+    }
+    got = np.asarray(
+        conv.apply(params, *map(jnp.asarray, inputs), mask, False)
+    )
+    spec_params = dict(init_kernel)
+    spec_params.update({k: np.asarray(v) for k, v in params["params"].items()})
+    want = kernel_conv_spec(spec_params, *inputs, deg=deg, is_last_layer=False)
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-6)
+
+    # Trainable variant with the same init must score identically while
+    # exposing the kernel tensors as parameters.
+    conv_t = KernelConv(
+        deg=deg, num_kernels=L, node_dim=F, edge_dim=E,
+        init_kernel=init_kernel, trainable_kernels=True,
+    )
+    params_t = conv_t.init(
+        jax.random.key(1), *map(jnp.asarray, inputs), mask, False
+    )
+    assert "x_center" in params_t["params"]
+    got_t = np.asarray(
+        conv_t.apply(params_t, *map(jnp.asarray, inputs), mask, False)
+    )
+    np.testing.assert_array_equal(got, got_t)
+
+
+def test_fixed_kernel_set_block_order():
+    """KernelSetConv with a fixed set: the degree's columns are
+    [fixed; trainable] (reference kernels.py:536-545) and block_widths
+    reports the combined widths."""
+    from molkgnn_tpu.data.dataset import make_synthetic_dataset
+    from molkgnn_tpu.graphs import batch_graphs, spec_for_graphs
+    from molkgnn_tpu.models.kgnn import KernelSetConv
+
+    ds = make_synthetic_dataset(seed=5, num_graphs=8)
+    spec = spec_for_graphs(ds.graphs, batch_size=8)
+    batch = batch_graphs(ds.graphs, spec)
+    rng = np.random.default_rng(2)
+    fixed2 = {
+        "x_center": rng.standard_normal((3, F)).astype(np.float32),
+        "x_support": rng.standard_normal((3, 2, F)).astype(np.float32),
+        "edge_attr_support": rng.standard_normal((3, 2, E)).astype(np.float32),
+        "p_support": rng.standard_normal((3, 2, 3)).astype(np.float32),
+    }
+    fixed = (None, fixed2, None, None)
+    layer = KernelSetConv(
+        num_kernels=(2, 2, 2, 2), node_dim=F, edge_dim=E, fixed_kernels=fixed
+    )
+    assert layer.block_widths() == (2, 5, 2, 2)
+    params = layer.init(jax.random.key(0), batch.x, batch.p, batch.buckets())
+    out = np.asarray(
+        layer.apply(params, batch.x, batch.p, batch.buckets())
+    )
+    assert out.shape[1] == 11
+    # Degree-2 block: columns 2..4 are the fixed kernels' scores — nonzero
+    # exactly on degree-2 nodes (same rows as the trainable deg-2 block).
+    fixed_block, train_block = out[:, 2:5], out[:, 5:7]
+    assert (np.any(fixed_block != 0, 1) == np.any(train_block != 0, 1)).all()
+    assert np.any(fixed_block != 0)
+
+    # No fixed set => identical trainable scoring (trainable params are
+    # initialized under the same names/keys).
+    plain = KernelSetConv(num_kernels=(2, 2, 2, 2), node_dim=F, edge_dim=E)
+    out_plain = np.asarray(
+        plain.apply(params, batch.x, batch.p, batch.buckets())
+    )
+    np.testing.assert_array_equal(
+        np.delete(out, [2, 3, 4], axis=1), out_plain
+    )
+
+
 def test_kernelconv_chirality_last_layer():
     got, want = run_both(4, is_last_layer=True, chiral_dups=True, seed=7)
     np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-6)
