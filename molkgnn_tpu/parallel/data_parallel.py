@@ -36,6 +36,48 @@ def stack_shards(batches: Sequence) -> object:
     return jax.tree.map(lambda *xs: np.stack(xs, axis=0), *batches)
 
 
+def shard_scan_steps(
+    step_fn: Callable,
+    gather: Callable,
+    spec,
+    mesh: Mesh,
+    axis: str = "data",
+):
+    """Device-resident DP training: scan K optimizer steps per dispatch over
+    a mesh, assembling each chip's sub-batch ON DEVICE from sampled ids.
+
+    This composes the two single-chip throughput wins (HBM-resident dataset
+    + on-device gather, graphs/device_pack.py; K-step lax.scan fusion,
+    Trainer.scan_steps) with data parallelism: the flat dataset pytree is
+    replicated into every chip's HBM once, the [K, ndev, B] id block is
+    sharded over ``axis`` (each chip sees [K, 1, B] — its own ids), and each
+    scanned step gathers its padded sub-batch locally, computes grads, and
+    pmeans them over ICI. Host->device traffic per dispatch is K*ndev*B ids
+    (~KBs); everything else never leaves the chips.
+
+    ``step_fn(state, batch, axis_name=...) -> (state, loss)`` must pmean its
+    gradients over ``axis_name`` (the Trainer's step does). Returns a jitted
+    ``fn(state, device_data, ids_block[K, ndev, B]) -> (state, loss[K])``
+    with replicated outputs.
+    """
+
+    def per_device(state, data, ids_block):  # ids_block local: [K, 1, B]
+        def body(st, ids):
+            new_st, loss = step_fn(st, gather(data, ids[0], spec), axis_name=axis)
+            return new_st, jax.lax.pmean(loss, axis)
+
+        return jax.lax.scan(body, state, ids_block)
+
+    sharded = shard_map(
+        per_device,
+        mesh=mesh,
+        in_specs=(P(), P(), P(None, axis)),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(sharded, donate_argnums=(0,))
+
+
 def shard_train_step(train_step: Callable, mesh: Mesh, axis: str = "data"):
     """SPMD-wrap ``train_step(state, batch, axis_name=...) -> (state, loss)``.
 

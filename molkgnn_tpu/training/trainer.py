@@ -163,16 +163,29 @@ class Trainer:
         self._eval_step = self._build_eval_step()
 
         self._device_data = None
-        if collate is None and mesh is None and config.use_device_data:
+        if collate is None and config.use_device_data:
             from molkgnn_tpu.graphs.device_pack import DeviceDataset
             from molkgnn_tpu.graphs.packed import PackedGraphs
 
             self._device_data = DeviceDataset.from_packed(
                 PackedGraphs.from_graphs(dataset.graphs)
             )
-            self._train_step_ids = self._build_train_step_ids()
-            self._train_steps_scan = self._build_train_steps_scan()
             self._eval_step_ids = self._build_eval_step_ids()
+            if mesh is None:
+                self._train_step_ids = self._build_train_step_ids()
+                self._train_steps_scan = self._build_train_steps_scan()
+            else:
+                # Device-resident DP: dataset replicated in every chip's
+                # HBM, id blocks sharded over the mesh, K steps fused per
+                # dispatch (parallel/data_parallel.shard_scan_steps).
+                from molkgnn_tpu.graphs.device_pack import gather_batch
+                from molkgnn_tpu.parallel.data_parallel import (
+                    shard_scan_steps,
+                )
+
+                self._train_steps_scan_dp = shard_scan_steps(
+                    self._train_step_fn, gather_batch, spec, mesh
+                )
 
     # ------------------------------------------------------------------
     def _build_train_step(self) -> Callable:
@@ -233,11 +246,11 @@ class Trainer:
             )
             return new_state, loss
 
+        self._train_step_fn = train_step
         if self.mesh is not None:
             from molkgnn_tpu.parallel.data_parallel import shard_train_step
 
             return shard_train_step(train_step, self.mesh)
-        self._train_step_fn = train_step
         return jax.jit(train_step, donate_argnums=(0,))
 
     def _build_train_step_ids(self) -> Callable:
@@ -434,6 +447,31 @@ class Trainer:
                 for batch in prefetch_to_device(loader):
                     self.state, loss = self._train_step(self.state, batch)
                     losses.append(loss)
+            elif self._device_data is not None:
+                # Device-resident DP: each optimizer step consumes ndev
+                # sub-batches of B ids (global batch = ndev*B, same
+                # semantics as the host-loader DP path); K steps fuse per
+                # dispatch. The trailing sub-ndev remainder is dropped
+                # (resampled next epoch), matching the host DP path.
+                steps_ids = np.stack(list(self._epoch_id_batches(cfg)))
+                whole = (steps_ids.shape[0] // ndev) * ndev
+                groups = steps_ids[:whole].reshape(
+                    -1, ndev, cfg.batch_size
+                )  # [G, ndev, B]
+                k = max(cfg.scan_steps, 1)
+                gwhole = (groups.shape[0] // k) * k
+                for start in range(0, gwhole, k):
+                    self.state, loss_k = self._train_steps_scan_dp(
+                        self.state,
+                        self._device_data,
+                        groups[start : start + k],
+                    )
+                    losses.append(loss_k)
+                for group in groups[gwhole:]:
+                    self.state, loss_1 = self._train_steps_scan_dp(
+                        self.state, self._device_data, group[None]
+                    )
+                    losses.append(loss_1)
             else:
                 # DP: group ndev sub-batches per step; the trailing partial
                 # group is dropped (oversampling resamples every epoch, so

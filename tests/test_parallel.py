@@ -68,6 +68,51 @@ def test_dp_fit_epoch_runs_on_8_devices():
     assert np.isfinite(history[0]["train_loss"])
 
 
+def test_dp_device_data_scan_matches_single_device_scan():
+    """shard_scan_steps on 2 devices fed IDENTICAL ids per shard must equal
+    the single-device scan path step-for-step (pmean of equal grads is a
+    no-op), proving the device-resident DP path changes only the dispatch,
+    not the math."""
+    mesh = make_mesh(2)
+    ds, spec, dp_trainer = _setup(mesh=mesh)
+    _, _, sd_trainer = _setup(mesh=None)
+    assert dp_trainer._device_data is not None
+    assert hasattr(dp_trainer, "_train_steps_scan_dp")
+
+    rng = np.random.default_rng(3)
+    k = 3
+    ids = rng.integers(0, 64, size=(k, 4)).astype(np.int32)  # [K, B]
+    # Same ids on both shards: [K, ndev, B].
+    dp_block = np.broadcast_to(ids[:, None, :], (k, 2, 4)).copy()
+
+    dp_state, dp_loss = dp_trainer._train_steps_scan_dp(
+        dp_trainer.state, dp_trainer._device_data, dp_block
+    )
+    sd_state, sd_loss = sd_trainer._train_steps_scan(
+        sd_trainer.state, sd_trainer._device_data, ids
+    )
+
+    np.testing.assert_allclose(
+        np.asarray(dp_loss), np.asarray(sd_loss), rtol=1e-6
+    )
+    for dp_leaf, sd_leaf in zip(
+        jax.tree.leaves(dp_state.params), jax.tree.leaves(sd_state.params)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(dp_leaf), np.asarray(sd_leaf), rtol=1e-5, atol=1e-7
+        )
+
+
+def test_dp_device_data_fit_epoch_runs_and_evaluates():
+    mesh = make_mesh(4)
+    ds, spec, trainer = _setup(mesh=mesh, batch_size=2)
+    trainer.config.scan_steps = 2
+    history = trainer.fit()
+    assert len(history) == 1
+    assert np.isfinite(history[0]["train_loss"])
+    assert np.isfinite(history[0]["loss"])
+
+
 def test_edge_partition_matches_single_device():
     """Edge/bucket-sharded forward over 4 devices == single-device forward.
 
