@@ -178,11 +178,21 @@ class Trainer:
                 # Device-resident DP: dataset replicated in every chip's
                 # HBM, id blocks sharded over the mesh, K steps fused per
                 # dispatch (parallel/data_parallel.shard_scan_steps).
+                from jax.sharding import NamedSharding, PartitionSpec
+
                 from molkgnn_tpu.graphs.device_pack import gather_batch
                 from molkgnn_tpu.parallel.data_parallel import (
                     shard_scan_steps,
                 )
 
+                # Replicate the dataset over the mesh ONCE. Without this the
+                # leaves carry SingleDeviceSharding(device 0) while the
+                # shard_map'd step expects NamedSharding(mesh, P()), so jit
+                # would re-broadcast the whole dataset (~100s of MB) on
+                # EVERY dispatch.
+                self._device_data = jax.device_put(
+                    self._device_data, NamedSharding(mesh, PartitionSpec())
+                )
                 self._train_steps_scan_dp = shard_scan_steps(
                     self._train_step_fn, gather_batch, spec, mesh
                 )
@@ -415,10 +425,17 @@ class Trainer:
         )
         os.makedirs(cfg.log_dir, exist_ok=True)
         ndev = int(np.prod(list(self.mesh.shape.values()))) if self.mesh else 1
+        steps_per_epoch = -(-len(self.dataset.split["train"]) // cfg.batch_size)
+        if ndev > 1 and steps_per_epoch < ndev:
+            raise ValueError(
+                f"data-parallel fit() needs at least one id-batch per device:"
+                f" ceil(n_train/batch_size) = {steps_per_epoch} <"
+                f" {ndev} devices. Shrink the mesh or the batch size."
+            )
         for epoch in range(cfg.max_epochs):
             t0 = time.time()
             losses = []
-            if ndev == 1 and self._device_data is not None:
+            if self.mesh is None and self._device_data is not None:
                 if cfg.scan_steps > 1:
                     blocks = np.stack(list(self._epoch_id_batches(cfg)))
                     k = cfg.scan_steps
@@ -441,7 +458,7 @@ class Trainer:
                             self.state, self._device_data, ids
                         )
                         losses.append(loss)
-            elif ndev == 1:
+            elif self.mesh is None:
                 from molkgnn_tpu.data.prefetch import prefetch_to_device
 
                 for batch in prefetch_to_device(loader):
@@ -490,6 +507,11 @@ class Trainer:
             # One device->host readback per epoch (readbacks are expensive
             # on tunneled TPUs), not one per step. Scan blocks contribute
             # [K]-shaped loss vectors; singles are scalars.
+            if not losses:
+                raise RuntimeError(
+                    "fit(): epoch produced no optimizer steps (train split "
+                    "too small for the batch size / device count)"
+                )
             train_loss = float(
                 jnp.mean(jnp.concatenate([jnp.atleast_1d(l) for l in losses]))
             )
@@ -671,7 +693,14 @@ class Trainer:
         saved_state = self.state
         for tag in tags:
             self.load_checkpoint_tag(tag)
-            true_y, pred_y = self._predict(self.dataset.subset("test"))
+            # Same device-resident eval path as evaluate(): ids-only H2D,
+            # one readback per checkpoint (no host-loader re-collation).
+            if self._device_data is not None:
+                true_y, pred_y = self._predict_ids(
+                    np.asarray(self.dataset.split["test"])
+                )
+            else:
+                true_y, pred_y = self._predict(self.dataset.subset("test"))
             out[tag] = compute_metrics(self.dataset.metrics, true_y, pred_y)
             scores_path = os.path.join(
                 cfg.log_dir, f"test_sample_scores_{tag}.log"

@@ -173,3 +173,58 @@ def test_multihost_helpers():
     ids = np.arange(16).reshape(8, 2)
     local = local_device_batches(ids)
     assert local.shape == (8, 2)  # single process owns all 8 devices
+
+
+def test_one_device_mesh_with_device_data_fits():
+    """Regression (ADVICE r1): a 1-device mesh with use_device_data=True
+    must train through the DP path instead of crashing on the missing
+    single-device id-step attributes."""
+    mesh = make_mesh(1)
+    ds, spec, trainer = _setup(mesh=mesh, batch_size=4)
+    assert trainer._device_data is not None
+    assert hasattr(trainer, "_train_steps_scan_dp")
+    history = trainer.fit()
+    assert len(history) == 1
+    assert np.isfinite(history[0]["train_loss"])
+
+
+def test_dp_device_data_replicated_once():
+    """Regression (ADVICE r1): the device-resident dataset must be placed
+    with NamedSharding(mesh, P()) at construction, so dispatches don't pay a
+    device0->mesh broadcast of the whole dataset every call."""
+    from jax.sharding import NamedSharding
+
+    mesh = make_mesh(4)
+    _, _, trainer = _setup(mesh=mesh)
+    for leaf in jax.tree.leaves(trainer._device_data):
+        sh = leaf.sharding
+        assert isinstance(sh, NamedSharding), sh
+        assert sh.mesh.shape == mesh.shape
+        assert sh.is_fully_replicated
+    # The compiled scan-DP step must see those shardings as-is (no resharding
+    # of the dataset on dispatch).
+    ids = np.zeros((1, 4, 4), np.int32)
+    compiled = trainer._train_steps_scan_dp.lower(
+        trainer.state, trainer._device_data, ids
+    ).compile()
+    n_state = len(jax.tree.leaves(trainer.state))
+    data_shardings = compiled.input_shardings[0][n_state : n_state + len(
+        jax.tree.leaves(trainer._device_data)
+    )]
+    for want, got in zip(
+        jax.tree.leaves(trainer._device_data), data_shardings
+    ):
+        assert want.sharding.is_equivalent_to(got, want.ndim)
+
+
+def test_dp_fit_raises_on_too_few_batches():
+    """Regression (ADVICE r1): fewer id-batches than devices must raise a
+    clear error instead of training on nothing / crashing on an empty
+    concatenate."""
+    import pytest
+
+    mesh = make_mesh(8)
+    # 64-graph dataset, default 80% train split ~= 51 -> ceil(51/32) = 2 < 8.
+    ds, spec, trainer = _setup(mesh=mesh, batch_size=32)
+    with pytest.raises(ValueError, match="id-batch per device"):
+        trainer.fit()
