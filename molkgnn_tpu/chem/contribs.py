@@ -211,10 +211,13 @@ def _crippen_type(mol: Molecule, i: int) -> str:
             if mol.atoms[j].symbol not in ("C", "H")
         )
         if atom.aromatic:
+            # Non-aromatic-bond substituents, H excluded: an explicit H
+            # neighbor must not push [cH] (C18) into the C21..C24 branches.
             arom_nbr_syms = [
                 mol.atoms[j].symbol
                 for j, bi in mol.neighbors(i)
                 if not mol.bonds[bi].aromatic
+                and mol.atoms[j].symbol != "H"
             ]
             if not arom_nbr_syms and mol.total_h(i) > 0:
                 return "C18"
