@@ -74,8 +74,13 @@ class KernelConv(nn.Module):
     # ('bfloat16' halves scoring bandwidth; accumulation stays fp32).
     matmul_dtype: str | None = None
     # Fused Pallas scoring (matmul + max/argmax over permutations in VMEM,
-    # ops/pallas_kernels.py): bitwise-identical to the XLA path, ~20%
-    # faster at large M on TPU. Off by default (XLA path runs everywhere).
+    # ops/pallas_kernels.py). Inside KernelSetConv all degree buckets share
+    # ONE grouped program per K-pad class, so full-model compile is ~40 s
+    # (was >10 min with per-degree instantiation). Measured on v5e at the
+    # flagship config (4 layers, 10/20/30/50): XLA 1.44 ms/step vs grouped
+    # Pallas 1.90 ms/step at batch 1024 — the single wide XLA matmul beats
+    # the per-permutation 128-padded tiles at these L (<=50), so XLA stays
+    # the default; use_pallas pays off only for much larger kernel counts.
     use_pallas: bool = False
     # Human-designed kernel tensors (reference KernelConv ``init_kernel`` /
     # ``requires_grad``, kernels.py:14-72): a dict with keys x_center
@@ -88,17 +93,7 @@ class KernelConv(nn.Module):
     init_kernel: dict | None = None
     trainable_kernels: bool = True
 
-    @nn.compact
-    def __call__(
-        self,
-        x_focal: jnp.ndarray,  # [M, F]
-        p_focal: jnp.ndarray,  # [M, 3]
-        x_nei: jnp.ndarray,  # [M, d, F]
-        p_nei: jnp.ndarray,  # [M, d, 3]
-        e_nei: jnp.ndarray,  # [M, d, Fe]
-        mask: jnp.ndarray,  # [M] bool
-        is_last_layer: bool = False,
-    ) -> jnp.ndarray:  # [M, L]
+    def setup(self):
         d, L = self.deg, self.num_kernels
 
         def kernel_tensor(name, shape):
@@ -114,41 +109,76 @@ class KernelConv(nn.Module):
                 return self.param(name, lambda k, s: jnp.asarray(init_val), shape)
             return self.param(name, _randn, shape)
 
-        x_center = kernel_tensor("x_center", (L, self.node_dim))
-        x_support = kernel_tensor("x_support", (L, d, self.node_dim))
-        edge_attr_support = kernel_tensor(
+        self.x_center = kernel_tensor("x_center", (L, self.node_dim))
+        self.x_support = kernel_tensor("x_support", (L, d, self.node_dim))
+        self.edge_attr_support = kernel_tensor(
             "edge_attr_support", (L, d, self.edge_dim)
         )
-        p_support = kernel_tensor("p_support", (L, d, self.pos_dim))
+        self.p_support = kernel_tensor("p_support", (L, d, self.pos_dim))
         # length/angle weights exist in reference checkpoints but never enter
         # the score (kernels.py:72-75; see SURVEY §2.1 note) — kept for
         # checkpoint-shape parity.
         w_init = lambda k, s, dt=jnp.float32: jnp.full(s, self.init_sc_weight, dt)
         self.param("length_sc_weight", w_init, ())
         self.param("angle_sc_weight", w_init, ())
-        w_center = self.param("center_attr_sc_weight", w_init, ())
-        w_support = self.param("support_attr_sc_weight", w_init, ())
-        w_edge = self.param("edge_attr_support_sc_weight", w_init, ())
+        self.w_center = self.param("center_attr_sc_weight", w_init, ())
+        self.w_support = self.param("support_attr_sc_weight", w_init, ())
+        self.w_edge = self.param("edge_attr_support_sc_weight", w_init, ())
+
+    def support_operands(self, x_nei: jnp.ndarray):
+        """Row-normalized (A [M, d*F], B [P, d*F, L]) operands for the
+        support-attribute scoring matmul — consumed by the grouped Pallas
+        scorer (ops/pallas_kernels.py::grouped_support_score), which returns
+        the raw (sum-cosine, argmax) pair fed back via ``support_result``."""
+        from molkgnn_tpu.ops.similarity import normalize_rows
+
+        d, L = self.deg, self.num_kernels
+        perms = perm_table(d)
+        m = x_nei.shape[0]
+        a = normalize_rows(x_nei).reshape(m, d * self.node_dim)
+        b = (
+            normalize_rows(self.x_support[:, perms, :])
+            .reshape(L, len(perms), d * self.node_dim)
+            .transpose(1, 2, 0)
+        )
+        return a, b
+
+    def __call__(
+        self,
+        x_focal: jnp.ndarray,  # [M, F]
+        p_focal: jnp.ndarray,  # [M, 3]
+        x_nei: jnp.ndarray,  # [M, d, F]
+        p_nei: jnp.ndarray,  # [M, d, 3]
+        e_nei: jnp.ndarray,  # [M, d, Fe]
+        mask: jnp.ndarray,  # [M] bool
+        is_last_layer: bool = False,
+        support_result=None,  # optional (raw_best [M, L], idx [M, L])
+    ) -> jnp.ndarray:  # [M, L]
+        d, L = self.deg, self.num_kernels
+        x_center = self.x_center
+        x_support = self.x_support
+        edge_attr_support = self.edge_attr_support
+        p_support = self.p_support
+        w_center, w_support, w_edge = (
+            self.w_center,
+            self.w_support,
+            self.w_edge,
+        )
 
         perms = perm_table(d)  # [P, d] static
 
         # --- support-attribute score over all permutations (one matmul) ---
-        xs_perm = x_support[:, perms, :]  # [L, P, d, F]
-        if self.use_pallas:
+        if support_result is not None:
+            best_sc = support_result[0] / d
+            best_idx = support_result[1]
+        elif self.use_pallas:
             from molkgnn_tpu.ops.pallas_kernels import fused_support_score
-            from molkgnn_tpu.ops.similarity import normalize_rows
 
-            mdim = x_nei.shape[0]
-            a = normalize_rows(x_nei).reshape(mdim, d * self.node_dim)
-            # [L, P, d, F] -> [P, d*F, L]
-            b = (
-                normalize_rows(xs_perm)
-                .reshape(L, len(perms), d * self.node_dim)
-                .transpose(1, 2, 0)
-            )
+            a, b = self.support_operands(x_nei)
             best_sc, best_idx = fused_support_score(a, b)
             best_sc = best_sc / d
         else:
+            xs_perm = x_support[:, perms, :]  # [L, P, d, F]
             support_sc = neighborhood_similarity(
                 x_nei, xs_perm, matmul_dtype=self._mmdtype()
             )  # [M, L, P]
@@ -282,7 +312,9 @@ class KernelSetConv(nn.Module):
     ) -> jnp.ndarray:
         n = x.shape[0]
         fixed = self.fixed_kernels or (None,) * 4
-        blocks = []
+        # entries[d-1]: list of (conv, inputs) for that degree, fixed first
+        # (column order [fixed; trainable], kernels.py:536-545).
+        entries = [[] for _ in range(4)]
         for d in range(1, 5):
             b = buckets[d - 1]
             inputs = dict(
@@ -294,7 +326,6 @@ class KernelSetConv(nn.Module):
                 mask=b.mask,
                 is_last_layer=is_last_layer,
             )
-            scs = []
             if fixed[d - 1] is not None:
                 fixed_conv = KernelConv(
                     deg=d,
@@ -310,7 +341,7 @@ class KernelSetConv(nn.Module):
                     trainable_kernels=False,
                     name=f"fixed_kernelconv{d}",
                 )
-                scs.append(fixed_conv(**inputs))
+                entries[d - 1].append((fixed_conv, inputs))
             conv = KernelConv(
                 deg=d,
                 num_kernels=self.num_kernels[d - 1],
@@ -321,7 +352,37 @@ class KernelSetConv(nn.Module):
                 matmul_dtype=self.matmul_dtype,
                 name=f"kernelconv{d}",
             )
-            scs.append(conv(**inputs))  # [M_d, L_d], zero on padded rows
+            entries[d - 1].append((conv, inputs))
+
+        # With Pallas on, ALL degree buckets (and fixed sets) are scored by
+        # ONE grouped kernel call — one compiled program per K-pad class
+        # instead of one per (degree, shape) (see grouped_support_score).
+        results = [[None] * len(e) for e in entries]
+        if self.use_pallas:
+            from molkgnn_tpu.ops.pallas_kernels import grouped_support_score
+
+            flat = [
+                (di, ei, conv, inputs)
+                for di, degree_entries in enumerate(entries)
+                for ei, (conv, inputs) in enumerate(degree_entries)
+            ]
+            ops = [
+                conv.support_operands(inputs["x_nei"])
+                for _, _, conv, inputs in flat
+            ]
+            grouped = grouped_support_score(
+                [a for a, _ in ops], [b for _, b in ops]
+            )
+            for (di, ei, _, _), res in zip(flat, grouped):
+                results[di][ei] = res
+
+        blocks = []
+        for d in range(1, 5):
+            b = buckets[d - 1]
+            scs = [
+                conv(**inputs, support_result=results[d - 1][ei])
+                for ei, (conv, inputs) in enumerate(entries[d - 1])
+            ]  # each [M_d, L], zero on padded rows
             sc = scs[0] if len(scs) == 1 else jnp.concatenate(scs, axis=1)
             # Scatter-add into node order; padded rows target node 0 with
             # zero contribution, so .add is exact.
