@@ -228,3 +228,93 @@ def test_dp_fit_raises_on_too_few_batches():
     ds, spec, trainer = _setup(mesh=mesh, batch_size=32)
     with pytest.raises(ValueError, match="id-batch per device"):
         trainer.fit()
+
+
+def test_halo_partition_matches_single_device():
+    """Node-sharded halo-exchange forward (parallel/halo.py) == single-device
+    forward. Contiguous node shards cut molecules mid-graph, so the halo is
+    non-trivial (asserted); only boundary rows cross ICI, unlike the
+    node-replicated psum design. Single kgnn layer for the same fp-tie
+    reason as test_edge_partition_matches_single_device."""
+    from jax.sharding import Mesh
+
+    from molkgnn_tpu.data.dataset import GraphLoader, make_synthetic_dataset
+    from molkgnn_tpu.graphs import spec_for_graphs
+    from molkgnn_tpu.models import MolKGNNNet
+    from molkgnn_tpu.parallel.halo import (
+        halo_parallel_forward,
+        halo_stats,
+        partition_halo,
+    )
+
+    ds = make_synthetic_dataset(seed=23, num_graphs=16)
+    spec = spec_for_graphs(ds.graphs, batch_size=8)
+    batch = next(iter(GraphLoader(ds.graphs[:8], spec, 8)))
+
+    model = MolKGNNNet(
+        num_layers=1, kernels_1hop=(2, 3, 4, 5), kernels_nhop=(2, 3, 4, 5),
+        graph_embedding_dim=8,
+    )
+    variables = model.init(jax.random.key(0), batch)
+    want = np.asarray(model.apply(variables, batch))
+
+    hb = partition_halo(batch, 4)
+    stats = halo_stats(hb)
+    assert stats["halo_rows_per_exchange"] > 0, "no cross-shard traffic?"
+    assert (
+        stats["halo_rows_per_exchange"] < stats["replicated_alternative_rows"]
+    ), f"halo not smaller than replication: {stats}"
+
+    mesh = Mesh(np.array(jax.devices()[:4]), ("data",))
+    got = np.asarray(
+        halo_parallel_forward(model, mesh)(variables, hb)
+    )
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+def test_halo_partition_multilayer_matches_single_device():
+    """3-layer halo forward (two exchanges per layer, h and sc) == single
+    device, EXACTLY. Chain molecules: every node's neighborhood features are
+    distinct at every layer, so no permutation-score ties exist and the
+    cross-compilation argmax caveat does not apply (deg-4/chirality coverage
+    lives in the 1-layer test above)."""
+    from jax.sharding import Mesh
+
+    from molkgnn_tpu.graphs import spec_for_graphs
+    from molkgnn_tpu.graphs.batch import batch_graphs
+    from molkgnn_tpu.graphs.molgraph import MolGraph
+    from molkgnn_tpu.models import MolKGNNNet
+    from molkgnn_tpu.parallel.halo import halo_parallel_forward, partition_halo
+
+    rng = np.random.default_rng(31)
+    graphs = []
+    for i in range(8):
+        n = int(rng.integers(10, 16))
+        ei, ea = [], []
+        for u in range(n - 1):
+            attr = rng.standard_normal(7).astype(np.float32)
+            ei += [(u, u + 1), (u + 1, u)]
+            ea += [attr, attr]
+        g = MolGraph(
+            x=rng.standard_normal((n, 28)).astype(np.float32),
+            p=rng.standard_normal((n, 3)).astype(np.float32),
+            edge_index=np.array(ei, np.int32).T,
+            edge_attr=np.array(ea, np.float32),
+            y=float(i % 2),
+            atomic_num=rng.integers(1, 10, size=n).astype(np.int32),
+        ).with_fields()
+        graphs.append(g)
+
+    spec = spec_for_graphs(graphs, batch_size=8)
+    batch = batch_graphs(graphs, spec)
+    model = MolKGNNNet(
+        num_layers=3, kernels_1hop=(2, 3, 4, 5), kernels_nhop=(2, 3, 4, 5),
+        graph_embedding_dim=8,
+    )
+    variables = model.init(jax.random.key(0), batch)
+    want = np.asarray(model.apply(variables, batch))
+
+    mesh = Mesh(np.array(jax.devices()), ("data",))
+    hb = partition_halo(batch, len(jax.devices()))
+    got = np.asarray(halo_parallel_forward(model, mesh)(variables, hb))
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
