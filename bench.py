@@ -6,18 +6,23 @@ Prints ONE JSON line:
 
 Setup mirrors the reference's flagship model (4 layers, 10/20/30/50 kernels
 per degree, hidden 32 — Supplement Table 3 / MolKGNNNet.py:162-174) on
-synthetic molecules with AID-like sizes, batch 256 molecules. The measured
-quantity is END-TO-END training throughput: real (unpadded) edges consumed
-per wall-clock second of the full loop — host batch assembly (flat-packed
-gather loader), prefetch/H2D staging, and the jitted train step (forward +
-backward + AdamW). A pure device step time is reported alongside.
+synthetic molecules with AID-like sizes. The headline number is END-TO-END
+training throughput at batch 256: real (unpadded) edges consumed per
+wall-clock second of the full loop — id-block sampling on host, on-device
+batch assembly from the device-resident dataset, and lax.scan-fused
+optimizer steps (forward + backward + AdamW). Additional rows report the
+compute-bound configs (batch 1024, bfloat16 scoring matmuls) and an
+analytic MFU estimate.
 
-vs_baseline: the reference publishes no throughput (BASELINE.md). The bar is
-an estimated PyG-on-GPU rate for the same config, dominated by the
-reference's per-node Python chirality loop and per-degree kernel loops
-(kernels.py:279-350): ~60 ms/step at batch 16 with ~1.4k edges/batch
-=> ~2.3e4 edges/s. Recorded in BASELINE_EDGES_PER_S until a real measurement
-of the PyTorch reference replaces it.
+vs_baseline: MEASURED. benchmarks/measure_baseline.py runs the reference's
+own kernels.py (imported unmodified, torch-CPU) inside a faithful replica
+of its training step on the same synthetic molecules: 936.6 edges/s at its
+flagship batch 16 (its best config; 119 edges/s at batch 256 — the
+per-node Python chirality loop dominates, kernels.py:279-350). That is the
+measured-CPU bar; the reference's GPU rate remains unmeasured (no GPU in
+any environment seen so far, BASELINE.md). Same-hardware comparison for
+calibration: our jax-CPU backend does 63.0k edges/s at batch 16 on the
+same 2-core box — 67x the reference before any TPU enters the picture.
 """
 
 import json
@@ -27,7 +32,14 @@ import time
 
 import numpy as np
 
-BASELINE_EDGES_PER_S = 2.3e4
+# Measured: benchmarks/BASELINE_MEASURED.json (reference torch-CPU, its
+# flagship batch 16, 2 threads — the faster of its two measured configs).
+BASELINE_EDGES_PER_S = 936.6
+BASELINE_PROVENANCE = "measured torch-CPU b16 (benchmarks/BASELINE_MEASURED.json); reference GPU unmeasured"
+
+# TPU v5e peak: 197 TFLOP/s bf16 (fp32 matmuls decompose on the MXU, so
+# bf16 peak is the honest denominator for both dtypes).
+PEAK_FLOPS_BF16 = 197e12
 
 # Watchdog: the dev environment reaches the TPU through a relay that can
 # wedge if a previous process died holding the grant; a hung device op
@@ -60,42 +72,64 @@ def _watchdog():
             )
             os._exit(1)
 
+
 BATCH_SIZE = 256
 BENCH_STEPS = 60
-WARMUP_STEPS = 5
 # Optimizer steps fused per device dispatch (lax.scan over sampled-id
 # blocks, trainer.scan_steps). The per-dispatch launch latency over the
-# tunneled link is the dominant e2e overhead at this batch size; fusing
-# amortizes it across SCAN_STEPS steps with identical math (parity test:
+# tunneled link is the dominant e2e overhead; fusing amortizes it across
+# SCAN_STEPS steps with identical math (parity test:
 # tests/test_training.py::test_scan_steps_match_single_steps).
 SCAN_STEPS = 10
 
+PERMS = {1: 1, 2: 2, 3: 6, 4: 12}
+KERNELS = (10, 20, 30, 50)
+NUM_LAYERS = 4
+EDGE_DIM = 7
+NODE_DIM = 28
 
-def main():
-    threading.Thread(target=_watchdog, daemon=True).start()
+
+def _flops_per_graph(graphs):
+    """Analytic matmul FLOPs per molecule for one fwd+bwd train step
+    (backward ~= 2x forward for the scoring matmuls; head/BN negligible)."""
+    deg_counts = np.zeros(5)
+    for g in graphs:
+        for d in range(1, 5):
+            deg_counts[d] += g.fields[d].count
+    deg_counts /= len(graphs)
+    fwd = 0.0
+    for layer in range(NUM_LAYERS):
+        f_in = NODE_DIM if layer == 0 else sum(KERNELS)
+        for d in range(1, 5):
+            n_d, l_d, p_d = deg_counts[d], KERNELS[d - 1], PERMS[d]
+            fwd += 2 * n_d * (d * f_in) * (l_d * p_d)  # support scoring
+            fwd += 2 * n_d * (d * EDGE_DIM) * (l_d * p_d)  # edge scoring
+            fwd += 2 * n_d * f_in * l_d  # center scoring
+    return 3.0 * fwd  # fwd + bwd
+
+
+def _measure_config(batch_size, matmul_dtype, ds, steps=BENCH_STEPS):
+    """e2e scan-fused throughput for one (batch, dtype) config."""
     import jax
 
-    from molkgnn_tpu.data.dataset import GraphLoader, make_synthetic_dataset
-    from molkgnn_tpu.data.prefetch import prefetch_to_device
     from molkgnn_tpu.graphs import spec_for_graphs
     from molkgnn_tpu.models import MolKGNNNet
     from molkgnn_tpu.training import GNNModel, TrainConfig, Trainer
 
-    _tick()
-    ds = make_synthetic_dataset(seed=0, num_graphs=4 * BATCH_SIZE)
-    spec = spec_for_graphs(ds.graphs, batch_size=BATCH_SIZE)
+    spec = spec_for_graphs(ds.graphs, batch_size=batch_size)
     model = GNNModel(
         encoder=MolKGNNNet(
-            num_layers=4,
-            kernels_1hop=(10, 20, 30, 50),
-            kernels_nhop=(10, 20, 30, 50),
+            num_layers=NUM_LAYERS,
+            kernels_1hop=KERNELS,
+            kernels_nhop=KERNELS,
             graph_embedding_dim=32,
             drop_ratio=0.2,
+            matmul_dtype=matmul_dtype,
         ),
         ffn_dropout_rate=0.25,
     )
     cfg = TrainConfig(
-        batch_size=BATCH_SIZE,
+        batch_size=batch_size,
         max_epochs=1,
         warmup_iterations=300,
         weight_decay=1e-3,
@@ -103,45 +137,6 @@ def main():
         scan_steps=SCAN_STEPS,
     )
     trainer = Trainer(model, ds, spec, cfg)
-
-    def loader():
-        return GraphLoader(
-            ds.subset("train"),
-            spec,
-            BATCH_SIZE,
-            oversample=True,
-            seed=0,
-            drop_last=True,
-        )
-
-    base_loader = loader()
-
-    def endless():
-        while True:
-            yield from prefetch_to_device(base_loader)
-
-    stream = endless()
-
-    # Warmup (compile + caches).
-    state = trainer.state
-    _tick()
-    for _ in range(WARMUP_STEPS):
-        state, loss = trainer._train_step(state, next(stream))
-    jax.block_until_ready(loss)
-    _tick()
-
-    # Device-only step time (pre-staged batch).
-    staged = jax.tree.map(jax.numpy.asarray, next(stream))
-    t0 = time.perf_counter()
-    for _ in range(20):
-        state, loss = trainer._train_step(state, staged)
-    jax.block_until_ready(loss)
-    dev_step_ms = (time.perf_counter() - t0) / 20 * 1e3
-
-    # End-to-end (device-resident dataset): per-DISPATCH host work is
-    # sampling a [K, B] id block; batch assembly happens on device
-    # (device_pack.py) and lax.scan fuses K optimizer steps per dispatch.
-    # Edge counts come from host-side metadata, not device readbacks.
     dev_data = trainer._device_data
     edge_counts = np.array([g.num_edges for g in ds.graphs])
 
@@ -157,33 +152,84 @@ def main():
             yield np.stack(block)
 
     blocks = id_blocks()
-    block0 = next(blocks)
-    state, loss_k = trainer._train_steps_scan(state, dev_data, block0)
+    state = trainer.state
+    state, loss_k = trainer._train_steps_scan(state, dev_data, next(blocks))
     jax.block_until_ready(loss_k)  # compile
     _tick()
 
-    steps = 0
+    done = 0
     total_edges = 0
     t0 = time.perf_counter()
-    while steps < BENCH_STEPS:
+    while done < steps:
         block = next(blocks)
         total_edges += int(edge_counts[block[block >= 0]].sum())
         state, loss_k = trainer._train_steps_scan(state, dev_data, block)
-        steps += SCAN_STEPS
+        done += SCAN_STEPS
         _tick()
     jax.block_until_ready(loss_k)
     dt = time.perf_counter() - t0
+    return {
+        "edges_per_s": round(total_edges / dt, 1),
+        "step_ms": round(1e3 * dt / done, 3),
+        "graphs_per_s": round(done * batch_size / dt, 1),
+    }
 
-    edges_per_s = total_edges / dt
+
+def main():
+    threading.Thread(target=_watchdog, daemon=True).start()
+    import jax
+
+    from molkgnn_tpu.data.dataset import make_synthetic_dataset
+
+    _tick()
+    # Same dataset construction as round 1 for the headline row (spec
+    # capacities derive from the graph pool, so pool size is part of the
+    # config); a 4x pool for the batch-1024 rows.
+    ds256 = make_synthetic_dataset(seed=0, num_graphs=4 * BATCH_SIZE)
+    ds1024 = make_synthetic_dataset(seed=0, num_graphs=4 * 1024)
+    flops_graph = _flops_per_graph(ds1024.graphs)
+
+    # Headline: batch 256 fp32 (round-1 comparable).
+    r256 = _measure_config(BATCH_SIZE, None, ds256)
+    _tick()
+    # Compute-bound rows: batch 1024, fp32 and bf16 scoring matmuls
+    # (bf16 is quality-neutral on the motif learning task:
+    # tests/test_training.py bf16 parity + QUALITY.md).
+    r1024 = _measure_config(1024, None, ds1024)
+    _tick()
+    r1024_bf16 = _measure_config(1024, "bfloat16", ds1024)
+    _tick()
+
+    best = max(
+        (r256, r1024, r1024_bf16), key=lambda r: r["edges_per_s"]
+    )
+    best_name = (
+        "b256_fp32"
+        if best is r256
+        else ("b1024_fp32" if best is r1024 else "b1024_bf16")
+    )
+    mfu = best["graphs_per_s"] * flops_graph / PEAK_FLOPS_BF16
+
     print(
         json.dumps(
             {
                 "metric": "train_edges_per_s_molkgnn_4layer_b256_e2e",
-                "value": round(edges_per_s, 1),
+                "value": r256["edges_per_s"],
                 "unit": "edges/s",
-                "vs_baseline": round(edges_per_s / BASELINE_EDGES_PER_S, 3),
-                "e2e_step_ms": round(1e3 * dt / BENCH_STEPS, 2),
-                "device_step_ms": round(dev_step_ms, 2),
+                "vs_baseline": round(
+                    r256["edges_per_s"] / BASELINE_EDGES_PER_S, 1
+                ),
+                "baseline": BASELINE_PROVENANCE,
+                "e2e_step_ms": r256["step_ms"],
+                "b1024_edges_per_s": r1024["edges_per_s"],
+                "b1024_bf16_edges_per_s": r1024_bf16["edges_per_s"],
+                "best_config": best_name,
+                "best_edges_per_s": best["edges_per_s"],
+                "best_vs_baseline": round(
+                    best["edges_per_s"] / BASELINE_EDGES_PER_S, 1
+                ),
+                "mfu_best_bf16peak": round(mfu, 4),
+                "matmul_flops_per_graph": round(flops_graph),
                 "scan_steps": SCAN_STEPS,
                 "device": str(jax.devices()[0]),
             }
