@@ -268,6 +268,16 @@ class ChIRoNet(nn.Module):
     cmp_gat_layers: int = 3
     cmp_gat_heads: int = 2
     dropout: float = 0.0
+    # Reference ``output_concatenation_mode`` (alpha_encoder.py:352-366):
+    #   'molecule'  — pooled GNN embedding only. This is what the MAIN
+    #                 path uses (ChIRoNet.py:54 keeps mol_embedding and
+    #                 discards the internal-coordinate latent), so it is
+    #                 the default; internal coordinates then reach the
+    #                 output only via chiral_message_passing.
+    #   'conformer' — the InternalCoordinateEncoder latent only.
+    #   'both'      — concat(mol_embedding, latent) (ChIRo's standalone
+    #                 harness default, train_models.py).
+    output_mode: str = "molecule"
 
     @nn.compact
     def __call__(self, batch: ChiroBatch, train: bool = False) -> jnp.ndarray:
@@ -283,7 +293,7 @@ class ChIRoNet(nn.Module):
                 h, batch.edge_src, batch.edge_dst, batch.edge_mask, train
             )
 
-        _, z_alpha = InternalCoordinateEncoder(
+        latent, z_alpha = InternalCoordinateEncoder(
             self.f_z, self.f_h, self.hidden_d, self.hidden_phi,
             self.hidden_c, self.hidden_shift, self.hidden_alpha,
             self.c_normalization, self.reduction, self.dropout,
@@ -305,6 +315,13 @@ class ChIRoNet(nn.Module):
                 )(h, batch.edge_src, batch.edge_dst, batch.edge_mask, train)
 
         # Zero padded nodes before pooling (EConv/GAT biases leak there).
-        return global_add_pool(
+        mol_embedding = global_add_pool(
             h, batch.node_graph_id, batch.num_graphs, node_mask=batch.node_mask
         )
+        if self.output_mode == "molecule":
+            return mol_embedding
+        if self.output_mode == "conformer":
+            return latent
+        if self.output_mode == "both":
+            return jnp.concatenate([mol_embedding, latent], axis=-1)
+        raise ValueError(f"unknown output_mode {self.output_mode!r}")

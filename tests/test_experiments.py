@@ -58,6 +58,59 @@ def test_cli_trains_on_synthetic(tmp_path):
     assert "last" in parsed and "AUC" in parsed["last"]
 
 
+def test_cli_full_qsar_chain_aid9999(tmp_path):
+    """Real-AID readiness (VERDICT r1 item 9): the moment real PubChem SDF
+    data lands, ``molkgnn --dataset_name {AID}`` must work unchanged. This
+    drives that exact command against a synthetic SDF pair written in the
+    reference's file layout (``{AID}_actives_new.sdf`` under
+    qsar/clean_sdf/raw, wrapper.py:410-413) with the REAL AID-9999 record
+    counts (37 actives / 226 inactives, utils/data_split.py:78) so the
+    regenerated shrink split's indices correspond 1:1, proving
+    ingest -> split -> train -> test_result.log end to end."""
+    from molkgnn_tpu.chem.embed import embed_molecule
+    from molkgnn_tpu.chem.sdf import write_sdf
+    from molkgnn_tpu.chem.smiles import parse_smiles
+
+    pool = [
+        "CCO", "CC(=O)O", "c1ccccc1", "CCN", "CCC", "CCCC", "CC(C)C",
+        "CCOC", "CCS", "CNC", "COC", "CCCl", "CCBr", "CCF", "c1ccncc1",
+        "CC(N)=O", "CC(C)O", "CCCO", "CCCC(=O)O", "Oc1ccccc1",
+    ]
+
+    def mols(n, seed0):
+        out = []
+        for i in range(n):
+            m = parse_smiles(pool[i % len(pool)], add_hs=True)
+            pos = embed_molecule(m, seed=seed0 + i, iterations=40)
+            for k, a in enumerate(m.atoms):
+                a.x, a.y, a.z = map(float, pos[k])
+            out.append(m)
+        return out
+
+    raw = tmp_path / "dataset" / "qsar" / "clean_sdf" / "raw"
+    raw.mkdir(parents=True)
+    write_sdf(str(raw / "9999_actives_new.sdf"), mols(37, seed0=0))
+    write_sdf(str(raw / "9999_inactives_new.sdf"), mols(226, seed0=1000))
+
+    root = tmp_path / "run"
+    r = subprocess.run(
+        [sys.executable, "-m", "molkgnn_tpu.cli.entry",
+         "--dataset_name", "9999",
+         "--dataset_path", str(tmp_path / "dataset"), *TINY_KGNN,
+         "--default_root_dir", str(root), "--task_name", "aid9999"],
+        capture_output=True, text=True, timeout=560, env=_cli_env(),
+    )
+    assert r.returncode == 0, (r.stderr[-3000:], r.stdout[-1000:])
+    logs = root / "logs"
+    parsed = parse_test_result(str(logs / "test_result.log"))
+    assert "last" in parsed and "AUC" in parsed["last"]
+    assert "logAUC_0.001_0.1" in parsed["last"]
+    assert (logs / "task_info.log").exists()
+    # the ingest cache in the reference's processed/ location
+    cache = tmp_path / "dataset" / "qsar" / "clean_sdf" / "processed"
+    assert any(cache.glob("kgnn-9999-*.npz")), list(cache.glob("*"))
+
+
 def test_grid_points_and_names():
     grid = {"peak_lr": [1e-2, 1e-3], "num_layers": [2, 3]}
     pts = grid_points(grid)
