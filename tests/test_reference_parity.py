@@ -11,9 +11,12 @@ reference forward/backward and the TPU implementation on random inputs:
   * Gradient parity through torch.autograd vs jax.grad (argmax-gated
     gather paths, softmax weight mixing).
   * BaseKernelSetConv.forward assembly/column-reordering (kernels.py:610-751)
-    vs models/kgnn.py::KernelSetConv on a real packed batch.
+    vs models/kgnn.py::KernelSetConv on a real packed batch — trainable-only
+    and fixed+trainable ([fixed; trainable] block order, kernels.py:701-721).
   * PolynomialDecayLR (lr.py:17-31) vs training/schedule.py, stepped through
     a real torch optimizer.
+  * evaluation.py metrics (logAUC both FPR ranges, AUC, PPV, accuracy, F1,
+    incl. degenerate-input branches) vs training/metrics.py.
 
 This retires the round-1 risk that implementation and hand-written spec
 oracle (tests/spec_kgnn.py) could be wrong together.
@@ -339,6 +342,101 @@ def test_kernelsetconv_assembly_matches_reference(ref_kernels):
     np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-6)
 
 
+def test_kernelsetconv_fixed_plus_trainable_matches_reference(ref_kernels):
+    """Fixed (frozen, human-designed) kernel sets alongside trainable ones:
+    the reference concatenates ``[fixed; trainable]`` score rows per degree
+    (kernels.py:701-721); ours bakes the fixed tensors as constants and
+    emits the same ``[fixed; trainable]`` column block order."""
+    from molkgnn_tpu.data.dataset import GraphLoader, make_synthetic_dataset
+    from molkgnn_tpu.graphs import spec_for_graphs
+
+    ds = make_synthetic_dataset(seed=9, num_graphs=8)
+    spec = spec_for_graphs(ds.graphs, batch_size=4)
+    batch = next(iter(GraphLoader(ds.graphs[:4], spec, 4)))
+
+    node_mask = np.asarray(batch.node_mask)
+    n_real = int(node_mask.sum())
+    x = np.asarray(batch.x)[:n_real]
+    p = np.asarray(batch.p)[:n_real]
+    bucket_rows = []
+    for b in batch.buckets():
+        mask = np.asarray(b.mask)
+        bucket_rows.append(
+            (
+                np.asarray(b.focal_index)[mask],
+                np.asarray(b.nei_index)[mask],
+                np.asarray(b.nei_edge_attr)[mask],
+            )
+        )
+    assert sum(len(r[0]) for r in bucket_rows) == n_real
+
+    counts = (2, 3, 4, 5)
+    rng = np.random.default_rng(31)
+    trainable = [_random_kernel(rng, L, d + 1) for d, L in enumerate(counts)]
+    # Fixed sets on degrees 2 and 4 only (mixed with fixed-free degrees).
+    fixed = (
+        None,
+        _random_kernel(rng, 3, 2),
+        None,
+        _random_kernel(rng, 2, 4),
+    )
+
+    ref = ref_kernels.BaseKernelSetConv(
+        fixed_kernelconv2=_ref_conv(ref_kernels, fixed[1], requires_grad=False),
+        fixed_kernelconv4=_ref_conv(ref_kernels, fixed[3], requires_grad=False),
+        trainable_kernelconv1=_ref_conv(ref_kernels, trainable[0]),
+        trainable_kernelconv2=_ref_conv(ref_kernels, trainable[1]),
+        trainable_kernelconv3=_ref_conv(ref_kernels, trainable[2]),
+        trainable_kernelconv4=_ref_conv(ref_kernels, trainable[3]),
+    )
+    kw = {}
+    for d, (focal, nei, ea) in enumerate(bucket_rows, start=1):
+        kw[f"p_focal_deg{d}"] = torch.tensor(p[focal])
+        kw[f"nei_p_deg{d}"] = torch.tensor(p[nei])
+        kw[f"nei_edge_attr_deg{d}"] = torch.tensor(ea)
+        kw[f"selected_index_deg{d}"] = torch.tensor(focal, dtype=torch.long)
+        kw[f"nei_index_deg{d}"] = torch.tensor(
+            nei.reshape(-1), dtype=torch.long
+        )
+    want = ref(
+        True,
+        x=torch.tensor(x),
+        edge_index=None,
+        edge_attr=None,
+        p=torch.tensor(p),
+        save_score=False,
+        **kw,
+    ).detach().numpy()  # [n_real, sum(counts) + 3 + 2]
+
+    ours = KernelSetConv(
+        num_kernels=counts, node_dim=F, edge_dim=E, fixed_kernels=fixed
+    )
+    assert ours.block_widths() == (2, 6, 4, 7)
+    # Fixed convs bake the kernel tensors as constants but keep the five
+    # score weights as params (kgnn.py:107-126) — supply those to match the
+    # reference fixed convs' init weights.
+    weight_only = {
+        k: v
+        for k, v in _our_params(trainable[0])["params"].items()
+        if k.endswith("_sc_weight")
+    }
+    params = {
+        "params": {
+            **{
+                f"kernelconv{d + 1}": _our_params(k)["params"]
+                for d, k in enumerate(trainable)
+            },
+            "fixed_kernelconv2": dict(weight_only),
+            "fixed_kernelconv4": dict(weight_only),
+        }
+    }
+    got = np.asarray(
+        ours.apply(params, batch.x, batch.p, batch.buckets(), True)
+    )[:n_real]
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-6)
+
+
 def test_polynomial_decay_lr_matches_reference(ref_lr):
     """Step the reference scheduler through a real torch optimizer and
     compare the LR consumed at every iteration with our optax schedule."""
@@ -369,3 +467,83 @@ def test_polynomial_decay_lr_matches_reference(ref_lr):
     )
     got = [float(ours(i)) for i in range(50)]
     np.testing.assert_allclose(got, ref_lrs, rtol=1e-6, atol=1e-12)
+
+
+# ----------------------------------------------- metrics vs evaluation.py
+
+
+@pytest.fixture(scope="module")
+def ref_eval():
+    """The reference's own evaluation.py (imports numpy + sklearn only).
+
+    numpy 2 removed the ``np.NAN`` alias the reference uses in its
+    zero-division branches (evaluation.py:107, 120); restore the alias for
+    the module's lifetime so the reference code runs unmodified.
+    """
+    if not hasattr(np, "NAN"):
+        np.NAN = np.nan
+    return _load_ref("/root/reference/evaluation.py", "ref_eval")
+
+
+def _score_sets():
+    rng = np.random.default_rng(1234)
+    out = []
+    for n, frac_pos, scale in [(500, 0.08, 1.0), (300, 0.5, 3.0)]:
+        y = (rng.random(n) < frac_pos).astype(np.int64)
+        # correlated scores: positives shifted up so the ROC curve is
+        # nontrivial inside the [0.001, 0.1] FPR window
+        s = rng.standard_normal(n) * scale + 1.5 * y
+        out.append((y, s.astype(np.float64)))
+    return out
+
+
+def test_metrics_match_reference_evaluation(ref_eval):
+    """training/metrics.py vs the reference's own evaluation.py on random
+    logits — logAUC in both FPR ranges used by the monitors, AUC, PPV,
+    accuracy, F1 (evaluation.py:11-127)."""
+    from molkgnn_tpu.training import metrics as m
+
+    for y, s in _score_sets():
+        for rng_ in [(0.001, 0.1), (0.001, 1)]:
+            np.testing.assert_allclose(
+                m.calculate_logAUC(y, s, rng_),
+                ref_eval.calculate_logAUC(y, s, rng_),
+                rtol=1e-12,
+            )
+        np.testing.assert_allclose(
+            m.calculate_auc(y, s), ref_eval.calculate_auc(y, s), rtol=1e-12
+        )
+        np.testing.assert_allclose(
+            m.calculate_ppv(y, s), ref_eval.calculate_ppv(y, s), rtol=1e-12
+        )
+        np.testing.assert_allclose(
+            m.calculate_accuracy(y, s),
+            ref_eval.calculate_accuracy(y, s),
+            rtol=1e-12,
+        )
+        np.testing.assert_allclose(
+            m.calculate_f1_score(y, s),
+            ref_eval.calculate_f1_score(y, s),
+            rtol=1e-12,
+        )
+
+
+def test_metrics_failure_branches_match_reference(ref_eval):
+    """Degenerate inputs: single-class AUC -> -1 fallback
+    (evaluation.py:82-87); no predicted positives -> PPV NaN
+    (evaluation.py:104-108)."""
+    from molkgnn_tpu.training import metrics as m
+
+    # Single-class y: older sklearn raised (-> the -1 fallback); sklearn
+    # >= 1.6 warns and returns NaN instead, on both sides identically. The
+    # parity contract is "ours == reference under the installed sklearn".
+    y_one_class = np.zeros(20, np.int64)
+    s = np.linspace(-1, 1, 20)
+    got = m.calculate_auc(y_one_class, s)
+    want = ref_eval.calculate_auc(y_one_class, s)
+    assert (np.isnan(got) and np.isnan(want)) or got == want == -1
+
+    y = np.array([0, 1] * 10)
+    s_all_neg = np.full(20, -10.0)  # sigmoid < 0.5 everywhere: tp + fp == 0
+    assert np.isnan(m.calculate_ppv(y, s_all_neg))
+    assert np.isnan(ref_eval.calculate_ppv(y, s_all_neg))
