@@ -74,7 +74,12 @@ def _watchdog():
 
 
 BATCH_SIZE = 256
-BENCH_STEPS = 60
+# Steps per timed repeat, and repeats per config (max kept). The tunneled
+# link's latency drifts minute-to-minute (measured spread up to ~2x on
+# identical programs), so a single short window is noise-dominated; longer
+# windows + best-of-R isolates the program's own rate.
+BENCH_STEPS = 240
+BENCH_REPEATS = 2
 # Optimizer steps fused per device dispatch (lax.scan over sampled-id
 # blocks, trainer.scan_steps). The per-dispatch launch latency over the
 # tunneled link is the dominant e2e overhead; fusing amortizes it across
@@ -108,15 +113,23 @@ def _flops_per_graph(graphs):
     return 3.0 * fwd  # fwd + bwd
 
 
-def _measure_config(batch_size, matmul_dtype, ds, steps=BENCH_STEPS):
-    """e2e scan-fused throughput for one (batch, dtype) config."""
+def _measure_config(batch_size, matmul_dtype, ds, steps=BENCH_STEPS, balanced=False):
+    """e2e scan-fused throughput for one (batch, dtype, spec) config.
+
+    ``balanced=True`` uses the sampler-aware tight spec + size-dealt batch
+    composition (graphs/balance.py): ~90% bucket occupancy vs ~55% for the
+    cover spec — same math on the real rows, ~1.7x smaller padded shapes.
+    """
     import jax
 
-    from molkgnn_tpu.graphs import spec_for_graphs
+    from molkgnn_tpu.graphs import spec_for_dataset, spec_for_graphs
     from molkgnn_tpu.models import MolKGNNNet
     from molkgnn_tpu.training import GNNModel, TrainConfig, Trainer
 
-    spec = spec_for_graphs(ds.graphs, batch_size=batch_size)
+    if balanced:
+        spec = spec_for_dataset(ds, batch_size)
+    else:
+        spec = spec_for_graphs(ds.graphs, batch_size=batch_size)
     model = GNNModel(
         encoder=MolKGNNNet(
             num_layers=NUM_LAYERS,
@@ -135,6 +148,7 @@ def _measure_config(batch_size, matmul_dtype, ds, steps=BENCH_STEPS):
         weight_decay=1e-3,
         progress=False,
         scan_steps=SCAN_STEPS,
+        balanced_batches=balanced,
     )
     trainer = Trainer(model, ds, spec, cfg)
     dev_data = trainer._device_data
@@ -157,22 +171,27 @@ def _measure_config(batch_size, matmul_dtype, ds, steps=BENCH_STEPS):
     jax.block_until_ready(loss_k)  # compile
     _tick()
 
-    done = 0
-    total_edges = 0
-    t0 = time.perf_counter()
-    while done < steps:
-        block = next(blocks)
-        total_edges += int(edge_counts[block[block >= 0]].sum())
-        state, loss_k = trainer._train_steps_scan(state, dev_data, block)
-        done += SCAN_STEPS
-        _tick()
-    jax.block_until_ready(loss_k)
-    dt = time.perf_counter() - t0
-    return {
-        "edges_per_s": round(total_edges / dt, 1),
-        "step_ms": round(1e3 * dt / done, 3),
-        "graphs_per_s": round(done * batch_size / dt, 1),
-    }
+    best = None
+    for _ in range(BENCH_REPEATS):
+        done = 0
+        total_edges = 0
+        t0 = time.perf_counter()
+        while done < steps:
+            block = next(blocks)
+            total_edges += int(edge_counts[block[block >= 0]].sum())
+            state, loss_k = trainer._train_steps_scan(state, dev_data, block)
+            done += SCAN_STEPS
+            _tick()
+        jax.block_until_ready(loss_k)
+        dt = time.perf_counter() - t0
+        row = {
+            "edges_per_s": round(total_edges / dt, 1),
+            "step_ms": round(1e3 * dt / done, 3),
+            "graphs_per_s": round(done * batch_size / dt, 1),
+        }
+        if best is None or row["edges_per_s"] > best["edges_per_s"]:
+            best = row
+    return best
 
 
 def main():
@@ -189,26 +208,29 @@ def main():
     ds1024 = make_synthetic_dataset(seed=0, num_graphs=4 * 1024)
     flops_graph = _flops_per_graph(ds1024.graphs)
 
-    # Headline: batch 256 fp32 (round-1 comparable).
-    r256 = _measure_config(BATCH_SIZE, None, ds256)
+    # Headline: batch 256 fp32 cover spec (round-1 comparable).
+    rows = {"b256_fp32": _measure_config(BATCH_SIZE, None, ds256)}
     _tick()
-    # Compute-bound rows: batch 1024, fp32 and bf16 scoring matmuls
-    # (bf16 is quality-neutral on the motif learning task:
-    # tests/test_training.py bf16 parity + QUALITY.md).
-    r1024 = _measure_config(1024, None, ds1024)
+    # Compute-bound row: batch 1024, bf16 scoring matmuls (quality-neutral
+    # on the motif learning task: tests/test_training.py bf16 parity).
+    rows["b1024_bf16"] = _measure_config(1024, "bfloat16", ds1024)
     _tick()
-    r1024_bf16 = _measure_config(1024, "bfloat16", ds1024)
+    # Balanced rows: size-dealt batches on the tight sampler-aware spec
+    # (graphs/balance.py, ~90% occupancy vs ~55%); identical math on real
+    # rows (tests/test_balance.py parity + determinism).
+    rows["b256_fp32_balanced"] = _measure_config(
+        BATCH_SIZE, None, ds256, balanced=True
+    )
+    _tick()
+    rows["b1024_bf16_balanced"] = _measure_config(
+        1024, "bfloat16", ds1024, balanced=True
+    )
     _tick()
 
-    best = max(
-        (r256, r1024, r1024_bf16), key=lambda r: r["edges_per_s"]
-    )
-    best_name = (
-        "b256_fp32"
-        if best is r256
-        else ("b1024_fp32" if best is r1024 else "b1024_bf16")
-    )
+    best_name = max(rows, key=lambda k: rows[k]["edges_per_s"])
+    best = rows[best_name]
     mfu = best["graphs_per_s"] * flops_graph / PEAK_FLOPS_BF16
+    r256 = rows["b256_fp32"]
 
     print(
         json.dumps(
@@ -221,8 +243,13 @@ def main():
                 ),
                 "baseline": BASELINE_PROVENANCE,
                 "e2e_step_ms": r256["step_ms"],
-                "b1024_edges_per_s": r1024["edges_per_s"],
-                "b1024_bf16_edges_per_s": r1024_bf16["edges_per_s"],
+                "b1024_bf16_edges_per_s": rows["b1024_bf16"]["edges_per_s"],
+                "b256_balanced_edges_per_s": rows["b256_fp32_balanced"][
+                    "edges_per_s"
+                ],
+                "b1024_bf16_balanced_edges_per_s": rows[
+                    "b1024_bf16_balanced"
+                ]["edges_per_s"],
                 "best_config": best_name,
                 "best_edges_per_s": best["edges_per_s"],
                 "best_vs_baseline": round(

@@ -58,6 +58,10 @@ def build_parser(gnn_type: str) -> argparse.ArgumentParser:
         default=False,
     )
     d.add_argument("--dataset_path", type=str, default="../dataset/")
+    # Size-dealt batch composition on a tight sampler-aware BatchSpec
+    # (graphs/balance.py): ~1.7x smaller padded shapes, same per-epoch
+    # sample multiset. kgnn (device-data) family only.
+    d.add_argument("--balanced_batches", action="store_true", default=False)
 
     p.add_argument("--gnn_type", type=str, default=gnn_type)
 
@@ -246,15 +250,25 @@ def main(argv=None):
 
     dataset = load_dataset(args)
     fam, encoder = build_encoder(args)
-    spec = fam.make_spec(
-        dataset.graphs,
-        batch_size=args.batch_size,
-        **(
-            {"cutoff": args.cutoff}
-            if args.gnn_type in ("schnet", "dimenet_pp", "spherenet")
-            else {}
-        ),
-    )
+    balanced = args.balanced_batches and args.gnn_type == "kgnn"
+    if balanced:
+        from molkgnn_tpu.graphs import spec_for_dataset
+
+        spec = spec_for_dataset(
+            dataset,
+            args.batch_size,
+            oversample=args.enable_oversampling_with_replacement,
+        )
+    else:
+        spec = fam.make_spec(
+            dataset.graphs,
+            batch_size=args.batch_size,
+            **(
+                {"cutoff": args.cutoff}
+                if args.gnn_type in ("schnet", "dimenet_pp", "spherenet")
+                else {}
+            ),
+        )
     model = GNNModel(
         encoder=encoder,
         task_dim=args.task_dim,
@@ -275,6 +289,7 @@ def main(argv=None):
         record_valid_pred=args.record_valid_pred,
         log_dir=log_dir,
         checkpoint_dir=os.path.join(args.default_root_dir, "checkpoints"),
+        balanced_batches=balanced,
     )
     collate = None if args.gnn_type == "kgnn" else fam.collate
     trainer = Trainer(model, dataset, spec, cfg, collate=collate)

@@ -6,6 +6,7 @@ from molkgnn_tpu.graphs.batch import (
     batch_graphs,
     spec_for_graphs,
 )
+from molkgnn_tpu.graphs.balance import spec_for_dataset, spec_for_sampler
 
 __all__ = [
     "MolGraph",
@@ -15,4 +16,6 @@ __all__ = [
     "BatchSpec",
     "batch_graphs",
     "spec_for_graphs",
+    "spec_for_sampler",
+    "spec_for_dataset",
 ]

@@ -82,6 +82,16 @@ class TrainConfig:
     # for the default (kgnn) batch family on a single device; per-step
     # host->device traffic drops to the id vector.
     use_device_data: bool = True
+    # Compose each epoch's batches by dealing the sampled ids round-robin
+    # in decreasing size order (graphs/balance.py) instead of consuming the
+    # sampler stream in draw order. Per-batch field sums then concentrate
+    # around the mean, which lets a tight sampler-aware BatchSpec
+    # (balance.spec_for_dataset) replace the ~55%-occupancy cover spec —
+    # ~1.7x smaller padded shapes, identical math on real rows. The epoch's
+    # sampled multiset is unchanged; only batch composition differs.
+    # Requires the device-data path; every dealt epoch is host-checked
+    # against the spec (gather_batch cannot detect overflow on device).
+    balanced_batches: bool = False
     # Fuse this many optimizer steps into ONE device dispatch with lax.scan
     # (device-data path only). Each dispatch pays the host->device program
     # launch latency once instead of per step — on a latency-bound config
@@ -133,10 +143,28 @@ class Trainer:
         # --- init ---
         rng = jax.random.key(config.seed)
         init_rng, state_rng = jax.random.split(rng)
+        self._counts = None  # lazy count_matrix cache (balanced mode)
+        dummy_graphs = dataset.subset("train")[: config.batch_size]
+        if config.balanced_batches:
+            if collate is not None or not config.use_device_data:
+                raise ValueError(
+                    "balanced_batches requires the device-data path "
+                    "(use_device_data=True, default collate)"
+                )
+            # The first batch_size train graphs need not fit a tight spec;
+            # init from a dealt row, which is what training will dispatch.
+            from molkgnn_tpu.graphs.balance import SIZE_FIELD, deal_by_size
+
+            counts = self._graph_counts()
+            train_ids = np.asarray(dataset.split["train"])
+            idm, _ = deal_by_size(
+                train_ids, counts[train_ids, SIZE_FIELD], config.batch_size
+            )
+            dummy_graphs = [dataset.graphs[i] for i in idm[0] if i >= 0]
         dummy = next(
             iter(
                 GraphLoader(
-                    dataset.subset("train")[: config.batch_size],
+                    dummy_graphs,
                     spec,
                     config.batch_size,
                     collate=collate,
@@ -320,26 +348,59 @@ class Trainer:
         return jax.jit(eval_step)
 
     # ------------------------------------------------------------------
+    def _graph_counts(self):
+        """Cached [G, 6] per-graph padded-field sizes (balanced mode)."""
+        if self._counts is None:
+            from molkgnn_tpu.graphs.balance import count_matrix
+
+            self._counts = count_matrix(self.dataset.graphs)
+        return self._counts
+
     def _epoch_id_batches(self, cfg):
         """Sampled train ids per step (device-data path): reproduces the
-        loader's oversampling/shuffle semantics over global graph ids."""
+        loader's oversampling/shuffle semantics over global graph ids.
+        With cfg.balanced_batches the epoch's sampled multiset is dealt by
+        size into near-equal-sum batches and host-checked against the spec
+        (see graphs/balance.py)."""
         from molkgnn_tpu.data.dataset import oversampling_weights
         from molkgnn_tpu.graphs.device_pack import pad_ids
 
         if not hasattr(self, "_id_rng"):
             self._id_rng = np.random.default_rng(cfg.seed)
-        train_ids = np.asarray(self.dataset.split["train"])
+        if not hasattr(self, "_sampler_cache"):
+            # Label gather + weight normalization are epoch-invariant;
+            # recomputing them per epoch costs ~0.5 ms of Python attribute
+            # walks per dispatch on small pools — measurable against a
+            # ~0.15 ms/step device time (benchmarks/device_step_time.py).
+            train_ids = np.asarray(self.dataset.split["train"])
+            p = None
+            if cfg.oversample:
+                labels = np.array(
+                    [self.dataset.graphs[i].y for i in train_ids]
+                )
+                w = oversampling_weights(labels)
+                p = w / w.sum()
+            self._sampler_cache = (train_ids, p)
+        train_ids, p = self._sampler_cache
         n = train_ids.shape[0]
         if cfg.oversample:
-            labels = np.array(
-                [self.dataset.graphs[i].y for i in train_ids]
-            )
-            w = oversampling_weights(labels)
-            order = self._id_rng.choice(n, size=n, replace=True, p=w / w.sum())
+            order = self._id_rng.choice(n, size=n, replace=True, p=p)
         else:
             order = self._id_rng.permutation(n)
         sampled = train_ids[order]
         bs = cfg.batch_size
+        if cfg.balanced_batches:
+            from molkgnn_tpu.graphs.balance import (
+                SIZE_FIELD,
+                check_batches_fit,
+                deal_by_size,
+            )
+
+            counts = self._graph_counts()
+            idm, _ = deal_by_size(sampled, counts[sampled, SIZE_FIELD], bs)
+            check_batches_fit(idm, counts, self.spec)
+            yield from idm
+            return
         for start in range(0, n, bs):
             chunk = sampled[start : start + bs]
             # numpy out: jit transfers the ~1KB id vector itself; creating
@@ -349,26 +410,54 @@ class Trainer:
 
     def _predict_ids(self, ids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         """Evaluation over the device-resident dataset: only id vectors go
-        host->device; predictions come back in ONE readback."""
+        host->device; predictions come back in ONE readback. In balanced
+        mode the ids are dealt by size (sequential chunks of an arbitrary
+        split can overflow a tight spec) and predictions are scattered back
+        to the caller's order via the deal's position matrix."""
         from molkgnn_tpu.graphs.device_pack import pad_ids
 
         bs = self.config.batch_size
-        dev_preds, keep = [], []
-        for start in range(0, len(ids), bs):
-            chunk = ids[start : start + bs]
-            dev_preds.append(
+        ids = np.asarray(ids)
+        if self.config.balanced_batches:
+            from molkgnn_tpu.graphs.balance import (
+                SIZE_FIELD,
+                check_batches_fit,
+                deal_by_size,
+            )
+
+            counts = self._graph_counts()
+            idm, posm = deal_by_size(ids, counts[ids, SIZE_FIELD], bs)
+            check_batches_fit(idm, counts, self.spec)
+            dev_preds = [
                 self._eval_step_ids(
                     self.state.params,
                     self.state.batch_stats,
                     self._device_data,
-                    pad_ids(chunk, bs),
+                    row,
                 )
-            )
-            keep.append(
-                np.arange(bs) < len(chunk)
-            )
-        mask = np.concatenate(keep)
-        pred = np.asarray(jnp.concatenate(dev_preds))[mask]
+                for row in idm
+            ]
+            flat = np.asarray(jnp.concatenate(dev_preds))
+            valid = (idm >= 0).reshape(-1)
+            pred = np.empty(len(ids), np.float32)
+            pred[posm.reshape(-1)[valid]] = flat[valid]
+        else:
+            dev_preds, keep = [], []
+            for start in range(0, len(ids), bs):
+                chunk = ids[start : start + bs]
+                dev_preds.append(
+                    self._eval_step_ids(
+                        self.state.params,
+                        self.state.batch_stats,
+                        self._device_data,
+                        pad_ids(chunk, bs),
+                    )
+                )
+                keep.append(
+                    np.arange(bs) < len(chunk)
+                )
+            mask = np.concatenate(keep)
+            pred = np.asarray(jnp.concatenate(dev_preds))[mask]
         true = np.array([self.dataset.graphs[i].y for i in ids], np.float32)
         return true, pred
 
@@ -518,7 +607,12 @@ class Trainer:
 
             results = self.evaluate("valid")
             if cfg.record_valid_pred:
-                true_y, pred_y = self._predict(self.dataset.subset("valid"))
+                if self._device_data is not None:
+                    true_y, pred_y = self._predict_ids(
+                        np.asarray(self.dataset.split["valid"])
+                    )
+                else:
+                    true_y, pred_y = self._predict(self.dataset.subset("valid"))
                 pred_dir = os.path.join(cfg.log_dir, "valid_predictions")
                 os.makedirs(pred_dir, exist_ok=True)
                 with open(os.path.join(pred_dir, f"epoch_{epoch}"), "w") as f:

@@ -58,6 +58,21 @@ def test_cli_trains_on_synthetic(tmp_path):
     assert "last" in parsed and "AUC" in parsed["last"]
 
 
+def test_cli_balanced_batches_flag(tmp_path):
+    """--balanced_batches: size-dealt batches on the tight sampler-aware
+    spec (graphs/balance.py) through the full CLI chain."""
+    r = subprocess.run(
+        [sys.executable, "-m", "molkgnn_tpu.cli.entry",
+         "--dataset_name", "synthetic", *TINY_KGNN,
+         "--balanced_batches",
+         "--default_root_dir", str(tmp_path), "--task_name", "t"],
+        capture_output=True, text=True, timeout=500, env=_cli_env(),
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    parsed = parse_test_result(str(tmp_path / "logs" / "test_result.log"))
+    assert "last" in parsed and "AUC" in parsed["last"]
+
+
 def test_cli_full_qsar_chain_aid9999(tmp_path):
     """Real-AID readiness (VERDICT r1 item 9): the moment real PubChem SDF
     data lands, ``molkgnn --dataset_name {AID}`` must work unchanged. This
