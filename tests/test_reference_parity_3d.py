@@ -1,0 +1,378 @@
+"""3D-baseline parity against the reference's OWN code.
+
+Extends tests/test_reference_parity.py (KernelConv/metrics/LR) to the
+baselines whose reference modules are importable on installed torch-CPU
+with only *generic-primitive* stubs:
+
+  * SchNet full forward (/root/reference/models/SchNet/schnet.py) vs
+    models/schnet.py — same injected weights, same molecules, end to end
+    through the radius graph, Gaussian smearing, all update_e/v/u layers
+    and the graph readout.
+  * ChIRoNet InternalCoordinateEncoder
+    (/root/reference/models/ChIRoNet/alpha_encoder.py:135-258) vs
+    models/chironet.py::InternalCoordinateEncoder — bond-length / angle /
+    torsion encoders, learned phase-shift sinusoids, sigmoid AND
+    scatter-softmax c-normalization, local-structure pooling, z_alpha.
+
+The stubs replace torch_scatter / torch_cluster C++ extensions (absent
+here) with their *documented generic contracts* (sum-scatter, segment
+softmax, all-pairs radius graph) — a few lines of index_add each, not
+reference logic, so the network math under test is genuinely the
+reference's. torch_cluster's boundary semantics (dist < r vs <= r) are
+measure-zero on real conformer coordinates.
+"""
+
+import importlib.util
+import sys
+import types
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+
+# --------------------------------------------------------------- stubs
+
+
+def _ensure_stubs():
+    """Install (or augment) torch_geometric / torch_scatter stub modules.
+
+    tests/test_reference_parity.py may already have installed a
+    torch_geometric stub that only carries ``.data``; augment it in place
+    so both files can run in either order within one pytest session.
+    """
+    tg = sys.modules.get("torch_geometric")
+    if tg is None:
+        tg = types.ModuleType("torch_geometric")
+        sys.modules["torch_geometric"] = tg
+    if not hasattr(tg, "data"):
+        tg_data = types.ModuleType("torch_geometric.data")
+
+        class Data:
+            def __init__(self, **kwargs):
+                for k, v in kwargs.items():
+                    setattr(self, k, v)
+
+        tg_data.Data = Data
+        tg.data = tg_data
+        sys.modules["torch_geometric.data"] = tg_data
+
+    if not hasattr(tg, "nn"):
+        tg_nn = types.ModuleType("torch_geometric.nn")
+
+        def radius_graph(pos, r, batch=None):
+            # Generic contract: directed (j, i) for every same-graph pair
+            # with |pos_j - pos_i| < r, j != i (symmetric set, so the
+            # row/col direction convention cancels).
+            n = pos.shape[0]
+            d = torch.cdist(pos, pos)
+            mask = (d < r) & ~torch.eye(n, dtype=torch.bool)
+            if batch is not None:
+                mask &= batch[:, None] == batch[None, :]
+            i_idx, j_idx = mask.nonzero(as_tuple=True)
+            return torch.stack([j_idx, i_idx])
+
+        def global_add_pool(x, batch, size=None):
+            size = int(batch.max()) + 1 if size is None else size
+            out = torch.zeros((size,) + x.shape[1:], dtype=x.dtype)
+            return out.index_add(0, batch, x)
+
+        def global_mean_pool(x, batch, size=None):
+            s = global_add_pool(x, batch, size)
+            cnt = global_add_pool(torch.ones_like(x[:, :1]), batch, size)
+            return s / cnt.clamp(min=1)
+
+        tg_nn.radius_graph = radius_graph
+        tg_nn.global_add_pool = global_add_pool
+        tg_nn.global_mean_pool = global_mean_pool
+        tg.nn = tg_nn
+        sys.modules["torch_geometric.nn"] = tg_nn
+
+    if "torch_scatter" not in sys.modules:
+        ts = types.ModuleType("torch_scatter")
+
+        def scatter(src, index, dim=0, out=None, dim_size=None, reduce="sum"):
+            assert dim == 0 and out is None and reduce in ("sum", "add")
+            size = int(index.max()) + 1 if dim_size is None else dim_size
+            res = torch.zeros((size,) + src.shape[1:], dtype=src.dtype)
+            return res.index_add(0, index, src)
+
+        def scatter_softmax(src, index, dim=0):
+            assert dim == 0
+            size = int(index.max()) + 1
+            mx = torch.full((size,) + src.shape[1:], float("-inf"))
+            mx = mx.index_reduce(0, index, src, "amax", include_self=True)
+            ex = torch.exp(src - mx[index])
+            den = torch.zeros_like(mx).index_add(0, index, ex)
+            return ex / den[index]
+
+        composite = types.ModuleType("torch_scatter.composite")
+        composite.scatter_softmax = scatter_softmax
+        ts.scatter = scatter
+        ts.composite = composite
+        sys.modules["torch_scatter"] = ts
+        sys.modules["torch_scatter.composite"] = composite
+
+
+def _load_ref(path, name):
+    _ensure_stubs()
+    spec = importlib.util.spec_from_file_location(name, path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def _t(a):
+    return torch.tensor(np.asarray(a))
+
+
+def _copy_linear(ref_lin, flax_lin):
+    with torch.no_grad():
+        ref_lin.weight.copy_(_t(flax_lin["kernel"]).T)
+        if getattr(ref_lin, "bias", None) is not None:
+            ref_lin.bias.copy_(_t(flax_lin["bias"]))
+
+
+# --------------------------------------------------------------- SchNet
+
+
+@pytest.fixture(scope="module")
+def ref_schnet():
+    return _load_ref("/root/reference/models/SchNet/schnet.py", "ref_schnet")
+
+
+def test_schnet_forward_matches_reference(ref_schnet):
+    """End-to-end SchNet on 4 real (synthetic-conformer) molecules: the
+    reference builds its own radius graph from positions; ours arrives as
+    masked precomputed edges (graphs/geometric.py). Same injected weights
+    => same graph embeddings (schnet.py:105-172)."""
+    from torch_geometric.data import Data  # the stub
+
+    from molkgnn_tpu.data.dataset import make_synthetic_dataset
+    from molkgnn_tpu.graphs.geometric import batch_points, point_spec_for_graphs
+    from molkgnn_tpu.models.schnet import SchNet
+
+    cutoff, layers, H, FLT, G, OUT = 4.0, 3, 16, 12, 25, 8
+    ds = make_synthetic_dataset(seed=3, num_graphs=8)
+    spec = point_spec_for_graphs(ds.graphs, batch_size=4, cutoff=cutoff)
+    batch = batch_points(ds.graphs[:4], spec)
+
+    model = SchNet(
+        cutoff=cutoff,
+        num_layers=layers,
+        hidden_channels=H,
+        num_filters=FLT,
+        num_gaussians=G,
+        out_channels=OUT,
+    )
+    params = model.init(jax.random.key(0), batch)["params"]
+
+    ref = ref_schnet.SchNet(
+        cutoff=cutoff,
+        num_layers=layers,
+        hidden_channels=H,
+        num_filters=FLT,
+        num_gaussians=G,
+        out_channels=OUT,
+    )
+    with torch.no_grad():
+        ref.init_v.weight.copy_(_t(params["init_v"]))
+    for layer in range(layers):
+        _copy_linear(ref.update_es[layer].mlp[0], params[f"mlp1_{layer}"])
+        _copy_linear(ref.update_es[layer].mlp[2], params[f"mlp2_{layer}"])
+        _copy_linear(ref.update_es[layer].lin, params[f"lin_{layer}"])
+        _copy_linear(ref.update_vs[layer].lin1, params[f"uv1_{layer}"])
+        _copy_linear(ref.update_vs[layer].lin2, params[f"uv2_{layer}"])
+    _copy_linear(ref.update_u.lin1, params["uu1"])
+    _copy_linear(ref.update_u.lin2, params["uu2"])
+    ref.eval()
+
+    node_mask = np.asarray(batch.node_mask)
+    n_real = int(node_mask.sum())
+    assert node_mask[:n_real].all(), "real nodes must be a prefix"
+    want = ref(
+        Data(
+            z=torch.tensor(
+                np.asarray(batch.z)[:n_real], dtype=torch.long
+            ),
+            pos=_t(np.asarray(batch.pos)[:n_real]),
+            batch=torch.tensor(
+                np.asarray(batch.node_graph_id)[:n_real], dtype=torch.long
+            ),
+        )
+    ).detach().numpy()
+
+    got = np.asarray(model.apply({"params": params}, batch))
+    assert got.shape == want.shape == (4, OUT)
+    # Scatter summation order differs between the two radius-edge
+    # enumerations — tolerance, not bitwise.
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+# -------------------------------------- ChIRoNet InternalCoordinateEncoder
+
+
+@pytest.fixture(scope="module")
+def ref_alpha():
+    return _load_ref(
+        "/root/reference/models/ChIRoNet/alpha_encoder.py", "ref_alpha"
+    )
+
+
+F_Z, F_H = (4, 5, 6), 16
+HID = {
+    "d": (8,),
+    "phi": (8, 8),
+    "c": (8,),
+    "shift": (8,),
+    "alpha": (8,),
+}
+
+
+@pytest.fixture(scope="module")
+def chiro_batch():
+    from molkgnn_tpu.chem.embed import embed_molecule
+    from molkgnn_tpu.chem.smiles import parse_smiles
+    from molkgnn_tpu.graphs.chiro import (
+        batch_chiro,
+        chiro_spec_for_graphs,
+        mol_to_chiro_graph,
+    )
+
+    smiles = ["CCO", "CC(=O)O", "CCN(C)C", "CCCC"]
+    graphs = []
+    for i, smi in enumerate(smiles):
+        m = parse_smiles(smi, add_hs=True)
+        pos = embed_molecule(m, seed=i, iterations=60)
+        for k, a in enumerate(m.atoms):
+            a.x, a.y, a.z = map(float, pos[k])
+        g = mol_to_chiro_graph(m, y=float(i % 2), idx=i, smiles=smi)
+        assert g is not None
+        graphs.append(g)
+    spec = chiro_spec_for_graphs(graphs, batch_size=4)
+    return batch_chiro(graphs, spec)
+
+
+def _strip(mask, *arrays):
+    m = np.asarray(mask)
+    n = int(m.sum())
+    assert m[:n].all(), "real rows must be a prefix"
+    return [np.asarray(a)[:n] for a in arrays]
+
+
+@pytest.mark.parametrize("c_norm", ["sigmoid", "softmax"])
+def test_internal_coordinate_encoder_matches_reference(
+    ref_alpha, chiro_batch, c_norm
+):
+    """alpha_encoder.py:135-258 on the same random node embeddings and the
+    same internal-coordinate index arrays: compare the pooled latent z AND
+    the per-local-structure z_alpha. Covers both c-normalization branches
+    (sigmoid = main-path default, softmax = scatter_softmax path)."""
+    from molkgnn_tpu.models.chironet import InternalCoordinateEncoder
+
+    batch = chiro_batch
+    rng = np.random.default_rng(11)
+    h_full = rng.standard_normal(
+        (batch.x.shape[0], F_H)
+    ).astype(np.float32)
+
+    module = InternalCoordinateEncoder(
+        f_z=F_Z,
+        f_h=F_H,
+        hidden_d=HID["d"],
+        hidden_phi=HID["phi"],
+        hidden_c=HID["c"],
+        hidden_shift=HID["shift"],
+        hidden_alpha=HID["alpha"],
+        c_normalization=c_norm,
+        reduction="sum",
+    )
+    variables = module.init(jax.random.key(1), jnp.asarray(h_full), batch)
+    got_z, got_z_alpha = module.apply(
+        variables, jnp.asarray(h_full), batch
+    )
+
+    act = {}
+    for enc in ("D", "phi", "c", "sinusoidal_shift", "alpha"):
+        act[f"encoder_hidden_activation_{enc}"] = torch.nn.LeakyReLU(0.01)
+        act[f"encoder_output_activation_{enc}"] = torch.nn.Identity()
+    ref = ref_alpha.InternalCoordinateEncoder(
+        F_z_list=list(F_Z),
+        F_H=F_H,
+        hidden_sizes_D=list(HID["d"]),
+        hidden_sizes_phi=list(HID["phi"]),
+        hidden_sizes_c=list(HID["c"]),
+        hidden_sizes_sinusoidal_shift=list(HID["shift"]),
+        hidden_sizes_alpha=list(HID["alpha"]),
+        activation_dict=act,
+        biases=True,
+        dropout=0.0,
+        c_coefficient_normalization=c_norm,
+        reduction="sum",
+    )
+    params = variables["params"]
+    for ref_name, our_name in [
+        ("Encoder_D", "Encoder_D"),
+        ("Encoder_phi", "Encoder_phi"),
+        ("Encoder_c", "Encoder_c"),
+        ("Encoder_sinusoidal_shift", "Encoder_sinusoidal_shift"),
+        ("Encoder_alpha", "Encoder_alpha"),
+    ]:
+        ref_mlp = getattr(ref, ref_name)
+        for k, lin in enumerate(ref_mlp.linear_layers):
+            _copy_linear(lin, params[our_name][f"lin{k}"])
+    ref.eval()
+
+    node_mask = np.asarray(batch.node_mask)
+    n_real = int(node_mask.sum())
+    (di, dj, dists) = _strip(
+        batch.dist_mask, batch.dist_i, batch.dist_j, batch.distances
+    )
+    (ai, aj, ak, angs) = _strip(
+        batch.ang_mask, batch.ang_i, batch.ang_j, batch.ang_k, batch.angles
+    )
+    (si, sj, sk, sl, dihs, ls) = _strip(
+        batch.dih_mask,
+        batch.dih_i,
+        batch.dih_j,
+        batch.dih_k,
+        batch.dih_l,
+        batch.dihedrals,
+        batch.ls_map,
+    )
+    (ax, ay) = _strip(batch.alpha_mask, batch.alpha_x, batch.alpha_y)
+    n_alpha = len(ax)
+    long = lambda a: torch.tensor(a, dtype=torch.long)
+
+    want = ref(
+        H_embeddings=_t(h_full[:n_real]),
+        distances=_t(dists),
+        distance_indices=torch.stack([long(di), long(dj)]),
+        phis=_t(angs),
+        phi_indices=torch.stack([long(ai), long(aj), long(ak)]),
+        psis=_t(dihs),
+        psi_indices=torch.stack(
+            [long(si), long(sj), long(sk), long(sl)]
+        ),
+        node_map=torch.tensor(
+            np.asarray(batch.node_graph_id)[:n_real], dtype=torch.long
+        ),
+        LS_map=long(ls),
+        alpha_indices=torch.stack([long(ax), long(ay)]),
+    )
+    want_z = want[0].detach().numpy()
+    want_z_alpha = want[2].detach().numpy()
+
+    got_z = np.asarray(got_z)
+    assert got_z.shape == want_z.shape == (4, sum(F_Z))
+    np.testing.assert_allclose(got_z, want_z, rtol=2e-4, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(got_z_alpha)[:n_alpha],
+        want_z_alpha,
+        rtol=2e-4,
+        atol=1e-5,
+    )
