@@ -60,7 +60,13 @@ def _angle_emb(dist, angle, num_spherical, num_radial, cutoff):
 def _torsion_emb(dist, angle, phi, num_spherical, num_radial, cutoff):
     """torsion_emb (spherenet.py:313-345): harmonics Y_lm(theta, phi) for
     all -l <= m <= l flattened to n^2 entries; entry h pairs with bessel
-    order h % n (the reference's view() quirk)."""
+    order h % n (the reference's view() quirk).
+
+    Per-l column order matches the reference's list layout as consumed by
+    its ``range(-i, i+1)`` read (spherenet.py:355-358 over the
+    real_sph_harm list, where ``Y[i][-j]`` lands at index 2i+1-j):
+    [m=0, cos(1..l), sin(l..1)] — verified against the reference's own
+    sympy codegen in tests/test_reference_parity_3d.py."""
     n, k = num_spherical, num_radial
     x = dist / cutoff
     bfns = bessel_basis_fns(n, k)
@@ -73,12 +79,12 @@ def _torsion_emb(dist, angle, phi, num_spherical, num_radial, cutoff):
         if l == 0:
             harmonics.append(mf[0][0](angle, phi))
         else:
-            # m = -l..-1 use sin forms == cos form of |m| with phi -> phi -
-            # pi/(2m)? The DimeNet real_sph_harm uses sin(|m| phi) for m<0.
-            for m in range(l, 0, -1):
-                harmonics.append(_y_lm_sin(mf, l, m, angle, phi))
+            # m >= 0 cos forms first, then m < 0 sin forms (descending |m|);
+            # sin form == cos form of |m| with phi -> phi - pi/(2m).
             for m in range(0, l + 1):
                 harmonics.append(mf[l][m](angle, phi))
+            for m in range(l, 0, -1):
+                harmonics.append(_y_lm_sin(mf, l, m, angle, phi))
     cbf = jnp.stack(harmonics, axis=1)  # [Q?, n*n]
     out = rbf[:, None, :, :] * cbf.reshape(-1, n, n)[:, :, :, None]
     return out.reshape(-1, n * n * k)
