@@ -13,6 +13,9 @@ with only *generic-primitive* stubs:
     models/chironet.py::InternalCoordinateEncoder — bond-length / angle /
     torsion encoders, learned phase-shift sinusoids, sigmoid AND
     scatter-softmax c-normalization, local-structure pooling, z_alpha.
+  * DimeNet++ InteractionPPBlock / OutputPPBlock
+    (/root/reference/models/ChIRoNet/gnn_3D/dimenet_pp.py:60-190) vs
+    models/dimenetpp.py on random basis inputs with injected weights.
   * SphereNet (/root/reference/models/ChIRoNet/gnn_3D/spherenet.py) —
     (a) the sympy-codegen basis embeddings (dist/angle/torsion incl.
     m != 0 harmonics) vs ops/basis.py on random inputs; (b) the full
@@ -121,6 +124,44 @@ def _ensure_stubs():
         tg_inits.glorot_orthogonal = glorot_orthogonal
         tg.nn.inits = tg_inits
         sys.modules["torch_geometric.nn.inits"] = tg_inits
+
+    if not hasattr(tg.nn, "acts"):
+        tg_acts = types.ModuleType("torch_geometric.nn.acts")
+        tg_acts.swish = lambda x: x * torch.sigmoid(x)
+        tg.nn.acts = tg_acts
+        sys.modules["torch_geometric.nn.acts"] = tg_acts
+
+        # torch_geometric.nn.models.dimenet: only ResidualLayer is actually
+        # instantiated by the reference blocks under test (the basis/
+        # embedding layers are constructed by DimeNetPlusPlus.__init__,
+        # which these tests never call). ResidualLayer implements the
+        # documented DimeNet contract x + act(lin2(act(lin1(x)))).
+        tg_models = types.ModuleType("torch_geometric.nn.models")
+        tg_dimenet = types.ModuleType("torch_geometric.nn.models.dimenet")
+
+        class ResidualLayer(torch.nn.Module):
+            def __init__(self, hidden_channels, act):
+                super().__init__()
+                self.act = act
+                self.lin1 = torch.nn.Linear(hidden_channels, hidden_channels)
+                self.lin2 = torch.nn.Linear(hidden_channels, hidden_channels)
+
+            def forward(self, x):
+                return x + self.act(self.lin2(self.act(self.lin1(x))))
+
+        class _NeverConstructed:
+            def __init__(self, *a, **kw):
+                raise AssertionError("placeholder must not be instantiated")
+
+        tg_dimenet.ResidualLayer = ResidualLayer
+        tg_dimenet.BesselBasisLayer = _NeverConstructed
+        tg_dimenet.SphericalBasisLayer = _NeverConstructed
+        tg_dimenet.EmbeddingBlock = _NeverConstructed
+        tg_dimenet.Envelope = _NeverConstructed
+        tg.nn.models = tg_models
+        tg_models.dimenet = tg_dimenet
+        sys.modules["torch_geometric.nn.models"] = tg_models
+        sys.modules["torch_geometric.nn.models.dimenet"] = tg_dimenet
 
     if "torch_sparse" not in sys.modules:
         tsp = types.ModuleType("torch_sparse")
@@ -641,3 +682,116 @@ def test_spherenet_forward_matches_reference(ref_spherenet, capsys):
 
     assert got.shape == want.shape == (4, cfg["out_channels"])
     np.testing.assert_allclose(got, want, rtol=5e-4, atol=2e-5)
+
+
+# ------------------------------------------------------------- DimeNet++
+
+
+@pytest.fixture(scope="module")
+def ref_dimenet():
+    return _load_ref(
+        "/root/reference/models/ChIRoNet/gnn_3D/dimenet_pp.py", "ref_dimenet"
+    )
+
+
+def test_dimenetpp_interaction_block_matches_reference(ref_dimenet):
+    """InteractionPPBlock (dimenet_pp.py:60-150): rbf/sbf basis projections,
+    triplet down/up projection, residual stacks around the skip — random
+    edge states and basis inputs, injected weights."""
+    from molkgnn_tpu.models.dimenetpp import InteractionPPBlock
+
+    h, int_emb, basis_emb, n_rad, n_sph = 16, 8, 4, 5, 3
+    nbs, nas = 1, 2
+    E, T = 20, 40
+    rng = np.random.default_rng(33)
+    x = rng.standard_normal((E, h)).astype(np.float32)
+    rbf = rng.standard_normal((E, n_rad)).astype(np.float32)
+    sbf = rng.standard_normal((T, n_sph * n_rad)).astype(np.float32)
+    idx_kj = rng.integers(0, E, T).astype(np.int32)
+    idx_ji = rng.integers(0, E, T).astype(np.int32)
+
+    ours = InteractionPPBlock(
+        hidden_channels=h, int_emb_size=int_emb, basis_emb_size=basis_emb,
+        num_before_skip=nbs, num_after_skip=nas,
+    )
+    variables = ours.init(
+        jax.random.key(3), jnp.asarray(x), jnp.asarray(rbf), jnp.asarray(sbf),
+        jnp.asarray(idx_kj), jnp.asarray(idx_ji), np.ones(T, bool),
+    )
+    got = np.asarray(
+        ours.apply(
+            variables, jnp.asarray(x), jnp.asarray(rbf), jnp.asarray(sbf),
+            jnp.asarray(idx_kj), jnp.asarray(idx_ji), np.ones(T, bool),
+        )
+    )
+
+    ref = ref_dimenet.InteractionPPBlock(
+        hidden_channels=h, int_emb_size=int_emb, basis_emb_size=basis_emb,
+        num_spherical=n_sph, num_radial=n_rad,
+        num_before_skip=nbs, num_after_skip=nas,
+    )
+    p = variables["params"]
+    for name in (
+        "lin_ji", "lin_kj", "lin_rbf1", "lin_rbf2", "lin_sbf1", "lin_sbf2",
+        "lin_down", "lin_up", "lin",
+    ):
+        _copy_linear(getattr(ref, name), p[name])
+    for k in range(nbs):
+        _copy_linear(ref.layers_before_skip[k].lin1, p[f"before_skip{k}"]["lin1"])
+        _copy_linear(ref.layers_before_skip[k].lin2, p[f"before_skip{k}"]["lin2"])
+    for k in range(nas):
+        _copy_linear(ref.layers_after_skip[k].lin1, p[f"after_skip{k}"]["lin1"])
+        _copy_linear(ref.layers_after_skip[k].lin2, p[f"after_skip{k}"]["lin2"])
+    ref.eval()
+    want = ref(
+        _t(x), _t(rbf), _t(sbf),
+        torch.tensor(idx_kj, dtype=torch.long),
+        torch.tensor(idx_ji, dtype=torch.long),
+    ).detach().numpy()
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-6)
+
+
+def test_dimenetpp_output_block_matches_reference(ref_dimenet):
+    """OutputPPBlock (dimenet_pp.py:153-190): rbf gate, edge->node scatter,
+    up-projection + output MLP. The reference never calls its
+    reset_parameters (dimenet_pp.py:176 commented out), so torch-default
+    Linear inits apply — mirrored by our TorchLinear layers."""
+    from molkgnn_tpu.models.dimenetpp import OutputPPBlock
+
+    h, out_emb, out_ch, n_rad, n_lay = 16, 12, 4, 5, 2
+    E, N = 20, 9
+    rng = np.random.default_rng(34)
+    x = rng.standard_normal((E, h)).astype(np.float32)
+    rbf = rng.standard_normal((E, n_rad)).astype(np.float32)
+    i = rng.integers(0, N, E).astype(np.int32)
+
+    ours = OutputPPBlock(
+        hidden_channels=h, out_emb_channels=out_emb, out_channels=out_ch,
+        num_layers=n_lay,
+    )
+    variables = ours.init(
+        jax.random.key(4), jnp.asarray(x), jnp.asarray(rbf), jnp.asarray(i),
+        N, np.ones(E, bool),
+    )
+    got = np.asarray(
+        ours.apply(
+            variables, jnp.asarray(x), jnp.asarray(rbf), jnp.asarray(i), N,
+            np.ones(E, bool),
+        )
+    )
+
+    ref = ref_dimenet.OutputPPBlock(
+        num_radial=n_rad, hidden_channels=h, out_emb_channels=out_emb,
+        out_channels=out_ch, num_layers=n_lay,
+    )
+    p = variables["params"]
+    _copy_linear(ref.lin_rbf, p["lin_rbf"])
+    _copy_linear(ref.lin_up, p["lin_up"])
+    for k in range(n_lay):
+        _copy_linear(ref.lins[k], p[f"lin{k}"])
+    _copy_linear(ref.lin, p["lin"])
+    ref.eval()
+    want = ref(
+        _t(x), _t(rbf), torch.tensor(i, dtype=torch.long), num_nodes=N
+    ).detach().numpy()
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-6)
