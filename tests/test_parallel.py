@@ -318,3 +318,38 @@ def test_halo_partition_multilayer_matches_single_device():
     hb = partition_halo(batch, len(jax.devices()))
     got = np.asarray(halo_parallel_forward(model, mesh)(variables, hb))
     np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+def test_halo_traffic_scales_with_cut_not_graph():
+    """The blueprint's bandwidth claim (SURVEY §2.3, halo.py docstring):
+    ICI bytes per exchange scale with the CUT SIZE, not the graph size.
+    Contiguous node shards cut at most (n_shards - 1) molecule boundaries,
+    so doubling the number of molecules leaves the per-pair halo bounded
+    while the node-replicated alternative's traffic grows linearly."""
+    from molkgnn_tpu.data.dataset import GraphLoader, make_synthetic_dataset
+    from molkgnn_tpu.graphs import spec_for_graphs
+    from molkgnn_tpu.parallel.halo import halo_stats, partition_halo
+
+    ds = make_synthetic_dataset(seed=29, num_graphs=64)
+
+    def stats_for(n_graphs):
+        spec = spec_for_graphs(ds.graphs[:n_graphs], batch_size=n_graphs)
+        batch = next(iter(GraphLoader(ds.graphs[:n_graphs], spec, n_graphs)))
+        return halo_stats(partition_halo(batch, 4))
+
+    small, big = stats_for(16), stats_for(64)
+    # Replicated-design traffic grows with the graph (~4x here)...
+    growth_rep = (
+        big["replicated_alternative_rows"] / small["replicated_alternative_rows"]
+    )
+    assert growth_rep > 3.0, (small, big)
+    # ...while halo traffic is pinned by the O(n_shards) cut: it must grow
+    # strictly slower, and stay a small fraction of replication.
+    growth_halo = (
+        big["halo_rows_per_exchange"] / small["halo_rows_per_exchange"]
+    )
+    assert growth_halo < growth_rep / 1.5, (small, big)
+    assert (
+        big["halo_rows_per_exchange"]
+        < 0.25 * big["replicated_alternative_rows"]
+    ), big
