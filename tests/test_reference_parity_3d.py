@@ -795,3 +795,76 @@ def test_dimenetpp_output_block_matches_reference(ref_dimenet):
         _t(x), _t(rbf), torch.tensor(i, dtype=torch.long), num_nodes=N
     ).detach().numpy()
     np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-6)
+
+
+# --------------------------------- ChIRo losses / local-structure grouping
+
+
+@pytest.fixture(scope="module")
+def ref_chiro_fns():
+    """train_functions.py + optimization_functions.py as a package (the
+    relative import needs a parent package module)."""
+    _ensure_stubs()
+    pkg = types.ModuleType("ref_chiro")
+    pkg.__path__ = ["/root/reference/models/ChIRoNet"]
+    sys.modules["ref_chiro"] = pkg
+    mods = {}
+    for sub in ("optimization_functions", "train_functions"):
+        spec = importlib.util.spec_from_file_location(
+            f"ref_chiro.{sub}", f"/root/reference/models/ChIRoNet/{sub}.py"
+        )
+        mod = importlib.util.module_from_spec(spec)
+        sys.modules[f"ref_chiro.{sub}"] = mod
+        spec.loader.exec_module(mod)
+        mods[sub] = mod
+    return mods
+
+
+def test_local_structure_map_matches_reference(ref_chiro_fns):
+    """get_local_structure_map (train_functions.py:22-37) vs
+    chem/chiro_features.py::local_structure_map on random dihedral indices
+    with repeated central bonds (first-appearance group numbering)."""
+    from molkgnn_tpu.chem.chiro_features import local_structure_map
+
+    tf = ref_chiro_fns["train_functions"]
+    rng = np.random.default_rng(55)
+    # 30 dihedrals over 6 distinct central bonds, shuffled.
+    bonds = rng.integers(0, 12, size=(6, 2))
+    rows = []
+    for _ in range(30):
+        b = bonds[rng.integers(0, 6)]
+        rows.append([rng.integers(0, 12), b[0], b[1], rng.integers(0, 12)])
+    idx = np.array(rows, np.int64)
+
+    want_ls, want_alpha = tf.get_local_structure_map(
+        torch.tensor(idx.T, dtype=torch.long)
+    )
+    got_ls, got_alpha = local_structure_map(idx)
+    np.testing.assert_array_equal(got_ls, want_ls.numpy())
+    np.testing.assert_array_equal(got_alpha, want_alpha.numpy())
+
+
+@pytest.mark.parametrize(
+    "metric", ["euclidean", "euclidean_normalized", "manhattan", "cosine"]
+)
+def test_triplet_loss_matches_reference(ref_chiro_fns, metric):
+    """tripletLoss (optimization_functions.py:15-45) vs
+    training/contrastive.py::triplet_loss, all 4 distance metrics."""
+    from molkgnn_tpu.training.contrastive import triplet_loss
+
+    of = ref_chiro_fns["optimization_functions"]
+    rng = np.random.default_rng(56)
+    a, p, n = (
+        rng.standard_normal((12, 8)).astype(np.float32) for _ in range(3)
+    )
+    for margin in (0.5, 1.0):
+        want = of.tripletLoss(
+            _t(a), _t(p), _t(n), margin=margin, distance_metric=metric
+        ).item()
+        got = float(
+            triplet_loss(
+                jnp.asarray(a), jnp.asarray(p), jnp.asarray(n),
+                margin=margin, distance_metric=metric,
+            )
+        )
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
