@@ -37,7 +37,11 @@ class TorchLinear(nn.Module):
             )
 
         kernel = self.param("kernel", _uniform, (fan_in, self.features))
-        y = jnp.dot(x, kernel, preferred_element_type=jnp.float32)
+        y = jnp.dot(
+            x,
+            kernel,
+            preferred_element_type=jnp.promote_types(x.dtype, jnp.float32),
+        )
         if self.use_bias:
             bias = self.param("bias", _uniform, (self.features,))
             y = y + bias

@@ -28,10 +28,18 @@ def normalize_rows(t: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
     return t / jnp.maximum(n, _EPS)
 
 
+def _acc_dtype(dtype) -> jnp.dtype:
+    """Accumulation dtype: fp32 for fp32/bf16 operands (MXU native), fp64
+    when the caller runs in double precision (x64 parity tests)."""
+    return jnp.promote_types(dtype, jnp.float32)
+
+
 def cosine_matrix(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """Pairwise cosine similarity: a [M, F], b [L, F] -> [M, L]."""
     return jnp.dot(
-        normalize_rows(a), normalize_rows(b).T, preferred_element_type=jnp.float32
+        normalize_rows(a),
+        normalize_rows(b).T,
+        preferred_element_type=_acc_dtype(a.dtype),
     )
 
 
@@ -61,5 +69,5 @@ def neighborhood_similarity(
     if matmul_dtype is not None:
         a = a.astype(matmul_dtype)
         b = b.astype(matmul_dtype)
-    sc = jnp.dot(a, b.T, preferred_element_type=jnp.float32) / d
+    sc = jnp.dot(a, b.T, preferred_element_type=_acc_dtype(nei.dtype)) / d
     return sc.reshape(m, l, p)

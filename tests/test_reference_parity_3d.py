@@ -868,3 +868,247 @@ def test_triplet_loss_matches_reference(ref_chiro_fns, metric):
             )
         )
         np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+# -------------------------- MolKGNN full model (BN + MolGCN + readout)
+
+
+@pytest.fixture(scope="module")
+def ref_molkgnn_pkg():
+    """kernels.py + KernelLayer.py + MolKGNNNet.py as a package (relative
+    imports). MessagePassing is stubbed to its generic contract: gather
+    ``*_j`` message args at edge_index[0], scatter-add at edge_index[1]."""
+    _ensure_stubs()
+    tg_nn = sys.modules["torch_geometric.nn"]
+    if not hasattr(tg_nn, "MessagePassing"):
+        import inspect
+
+        class MessagePassing(torch.nn.Module):
+            def __init__(self, aggr="add"):
+                super().__init__()
+                assert aggr == "add"
+
+            def propagate(self, edge_index, **kwargs):
+                src, dst = edge_index[0], edge_index[1]
+                msg_kwargs, dim_size = {}, None
+                for name in inspect.signature(self.message).parameters:
+                    assert name.endswith("_j")
+                    base = kwargs[name[:-2]]
+                    dim_size = base.size(0)
+                    msg_kwargs[name] = base[src]
+                out = self.message(**msg_kwargs)
+                res = torch.zeros(
+                    (dim_size,) + out.shape[1:], dtype=out.dtype
+                )
+                return res.index_add(0, dst, out)
+
+        tg_nn.MessagePassing = MessagePassing
+
+    pkg = types.ModuleType("ref_molkgnn")
+    pkg.__path__ = ["/root/reference/models/MolKGNN"]
+    sys.modules["ref_molkgnn"] = pkg
+    mods = {}
+    for sub in ("kernels", "KernelLayer", "MolKGNNNet"):
+        spec = importlib.util.spec_from_file_location(
+            f"ref_molkgnn.{sub}", f"/root/reference/models/MolKGNN/{sub}.py"
+        )
+        mod = importlib.util.module_from_spec(spec)
+        sys.modules[f"ref_molkgnn.{sub}"] = mod
+        spec.loader.exec_module(mod)
+        mods[sub] = mod
+    return mods
+
+
+def test_molkgnn_full_model_matches_reference(ref_molkgnn_pkg):
+    """End-to-end MolKGNNNet (eval): node BatchNorm (randomized running
+    stats + affine), 2 chained KernelSetConv layers with sum message
+    passing (deg-4 chirality on the last layer), per-node MLP readout and
+    global add pool — vs the reference's MolKGNNNet/MolGCN on the same
+    packed batch with injected parameters.
+
+    Tie control (the fp-tie caveat, CLAUDE.md): two LEAF siblings of the
+    same center aggregate bitwise-identical features at layer >= 1, making
+    permutation scores tie at ulp level; which permutation the argmax then
+    gathers is summation-order-arbitrary *in the reference itself*. The
+    test therefore (a) uses tree molecules in which no node has two leaf
+    children (all degrees 1-4 still present), asserted tie-free below, and
+    (b) runs both sides in float64 so the remaining near-ties resolve
+    identically."""
+    from torch_geometric.data import Data  # the stub
+
+    from molkgnn_tpu.graphs import spec_for_graphs
+    from molkgnn_tpu.graphs.batch import batch_graphs
+    from molkgnn_tpu.graphs.molgraph import MolGraph
+    from molkgnn_tpu.models.kgnn import MolKGNNNet
+
+    def tie_free_molecule(rng):
+        """Caterpillar tree, max one leaf child per node: spine s0..s_{m-1};
+        interior spine nodes optionally gain one leaf and/or one pendant
+        2-chain (internal child + its own single leaf) => degrees 1-4."""
+        edges = []
+        m = int(rng.integers(5, 7))
+        nodes = m
+        for u in range(m - 1):
+            edges.append((u, u + 1))
+        for si in range(2, m - 2):
+            kind = int(rng.integers(0, 3))
+            if kind >= 1:  # one leaf child
+                edges.append((si, nodes))
+                nodes += 1
+            if kind == 2:  # plus one pendant chain: deg-4 spine node
+                t, u = nodes, nodes + 1
+                edges.append((si, t))
+                edges.append((t, u))
+                nodes += 2
+        ei, ea = [], []
+        for u, v in edges:
+            attr = rng.standard_normal(7).astype(np.float32)
+            ei += [(u, v), (v, u)]
+            ea += [attr, attr]
+        return MolGraph(
+            x=rng.standard_normal((nodes, 28)).astype(np.float32),
+            p=rng.standard_normal((nodes, 3)).astype(np.float32),
+            edge_index=np.array(ei, np.int32).T,
+            edge_attr=np.array(ea, np.float32),
+            y=0.0,
+            atomic_num=rng.integers(1, 10, size=nodes).astype(np.int32),
+        ).with_fields()
+
+    rng0 = np.random.default_rng(61)
+    graphs = [tie_free_molecule(rng0) for _ in range(4)]
+    spec = spec_for_graphs(graphs, batch_size=4)
+    batch = batch_graphs(graphs, spec)
+    degs_present = {
+        d
+        for d, b in enumerate(batch.buckets(), start=1)
+        if np.asarray(b.mask).any()
+    }
+    assert degs_present == {1, 2, 3, 4}, degs_present
+    # Tie-freeness: no node has two neighbors with identical neighbor SETS
+    # (the only generic source of bitwise-equal aggregated features).
+    for g in graphs:
+        nbrs = {}
+        src, dst = g.edge_index
+        for a, b_ in zip(src.tolist(), dst.tolist()):
+            nbrs.setdefault(b_, set()).add(a)
+        for v, vn in nbrs.items():
+            sets = [frozenset(nbrs[u]) for u in vn]
+            assert len(sets) == len(set(sets)), f"tied siblings at node {v}"
+
+    counts_1hop, counts_nhop, emb_dim = (2, 3, 4, 5), (3, 4, 2, 5), 8
+    model = MolKGNNNet(
+        num_layers=2,
+        kernels_1hop=counts_1hop,
+        kernels_nhop=counts_nhop,
+        graph_embedding_dim=emb_dim,
+        drop_ratio=0.0,
+    )
+    variables = jax.device_get(model.init(jax.random.key(5), batch))
+
+    # Randomize every parameter and the BN running stats so no term can
+    # hide behind a default (BN weight=1/bias=0, equal score weights, ...).
+    rng = np.random.default_rng(99)
+    rand = lambda leaf: (
+        rng.standard_normal(np.shape(leaf)).astype(np.float64) * 0.5
+    )
+    variables["params"] = jax.tree.map(rand, variables["params"])
+    variables["batch_stats"] = {
+        k: {
+            "mean": rng.standard_normal(v["mean"].shape),
+            "var": rng.uniform(0.5, 1.5, v["var"].shape),
+        }
+        for k, v in variables["batch_stats"].items()
+    }
+
+    to64 = lambda a: (
+        np.asarray(a, np.float64)
+        if np.issubdtype(np.asarray(a).dtype, np.floating)
+        else np.asarray(a)
+    )
+    batch64 = jax.tree.map(to64, batch)
+    jax.config.update("jax_enable_x64", True)
+    try:
+        got = np.asarray(model.apply(variables, batch64, train=False))
+        assert got.dtype == np.float64
+    finally:
+        jax.config.update("jax_enable_x64", False)
+
+    # The reference creates intermediates with torch.zeros/FloatTensor at
+    # default dtype (kernels.py score assembly) — run its whole side at a
+    # float64 default so they match the injected double params.
+    prev_default = torch.get_default_dtype()
+    torch.set_default_dtype(torch.float64)
+    ref_net_mod = ref_molkgnn_pkg["MolKGNNNet"]
+    ref = ref_net_mod.MolKGNNNet(
+        num_layers=2,
+        num_kernel1_1hop=counts_1hop[0], num_kernel2_1hop=counts_1hop[1],
+        num_kernel3_1hop=counts_1hop[2], num_kernel4_1hop=counts_1hop[3],
+        num_kernel1_Nhop=counts_nhop[0], num_kernel2_Nhop=counts_nhop[1],
+        num_kernel3_Nhop=counts_nhop[2], num_kernel4_Nhop=counts_nhop[3],
+        x_dim=28, p_dim=3, edge_attr_dim=7,
+        drop_ratio=0.0, graph_embedding_dim=emb_dim,
+    )
+    ref.double()
+    p = variables["params"]
+    s = variables["batch_stats"]
+    with torch.no_grad():
+        for bn_name in ("node_batch_norm", "edge_batch_norm"):
+            bn = getattr(ref, bn_name)
+            bn.weight.copy_(_t(p[bn_name]["weight"]))
+            bn.bias.copy_(_t(p[bn_name]["bias"]))
+            bn.running_mean.copy_(_t(s[bn_name]["mean"]))
+            bn.running_var.copy_(_t(s[bn_name]["var"]))
+        for i in range(2):
+            for d in range(1, 5):
+                conv = ref.gnn.layers[i].trainable_kernelconv_set[d - 1]
+                ours = p["gnn"][f"layer{i}"][f"kernelconv{d}"]
+                for name in (
+                    "x_center", "x_support", "edge_attr_support",
+                    "p_support", "support_attr_sc_weight",
+                    "center_attr_sc_weight", "edge_attr_support_sc_weight",
+                    "length_sc_weight", "angle_sc_weight",
+                ):
+                    getattr(conv, name).copy_(_t(ours[name]))
+        _copy_linear(ref.graph_embedding_lin1, p["graph_embedding_lin1"])
+        _copy_linear(ref.graph_embedding_lin2, p["graph_embedding_lin2"])
+    ref.eval()
+
+    node_mask = np.asarray(batch.node_mask)
+    n_real = int(node_mask.sum())
+    assert node_mask[:n_real].all()
+    emask = np.asarray(batch.edge_mask)
+    e_real = int(emask.sum())
+    assert emask[:e_real].all()
+    long = lambda a: torch.tensor(np.asarray(a), dtype=torch.long)
+    td = lambda a: torch.tensor(np.asarray(a, np.float64))
+
+    kw = dict(
+        x=td(np.asarray(batch.x)[:n_real]),
+        p=td(np.asarray(batch.p)[:n_real]),
+        edge_index=torch.stack(
+            [long(batch.edge_src[:e_real]), long(batch.edge_dst[:e_real])]
+        ),
+        edge_attr=td(np.asarray(batch.edge_attr)[:e_real]),
+        batch=long(np.asarray(batch.node_graph_id)[:n_real]),
+    )
+    total_bucket_rows = 0
+    for d, b in enumerate(batch.buckets(), start=1):
+        mask = np.asarray(b.mask)
+        focal = np.asarray(b.focal_index)[mask]
+        nei = np.asarray(b.nei_index)[mask]
+        total_bucket_rows += len(focal)
+        kw[f"p_focal_deg{d}"] = td(np.asarray(batch.p)[focal])
+        kw[f"nei_p_deg{d}"] = td(np.asarray(batch.p)[nei])
+        kw[f"nei_edge_attr_deg{d}"] = td(np.asarray(b.nei_edge_attr)[mask])
+        kw[f"selected_index_deg{d}"] = long(focal)
+        kw[f"nei_index_deg{d}"] = long(nei.reshape(-1))
+    # Reference's column-reorder assumes every real node sits in exactly
+    # one degree bucket (degree 1..4).
+    assert total_bucket_rows == n_real
+
+    try:
+        want = ref(Data(**kw)).detach().numpy()
+    finally:
+        torch.set_default_dtype(prev_default)
+    assert got.shape == want.shape == (4, emb_dim)
+    np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-10)
