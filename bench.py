@@ -27,10 +27,13 @@ same 2-core box — 67x the reference before any TPU enters the picture.
 
 import json
 import os
+import sys
 import threading
 import time
 
 import numpy as np
+
+_T0 = time.time()
 
 # Measured: benchmarks/BASELINE_MEASURED.json (reference torch-CPU, its
 # flagship batch 16, 2 threads — the faster of its two measured configs).
@@ -78,8 +81,15 @@ BATCH_SIZE = 256
 # link's latency drifts minute-to-minute (measured spread up to ~2x on
 # identical programs), so a single short window is noise-dominated; longer
 # windows + best-of-R isolates the program's own rate.
-BENCH_STEPS = 240
+BENCH_STEPS = 160
 BENCH_REPEATS = 2
+# Wall-clock budget: the driver runs this file under a ~10 min timeout; a
+# killed TPU process can wedge the single-tenant grant for every later
+# process (CLAUDE.md), so the bench must ALWAYS print its JSON line and
+# exit on its own. The headline row always runs; optional rows are skipped
+# once the budget is spent (remote compiles are the dominant cost, 20-40s
+# per program).
+TOTAL_BUDGET_S = 420
 # Optimizer steps fused per device dispatch (lax.scan over sampled-id
 # blocks, trainer.scan_steps). The per-dispatch launch latency over the
 # tunneled link is the dominant e2e overhead; fusing amortizes it across
@@ -113,89 +123,117 @@ def _flops_per_graph(graphs):
     return 3.0 * fwd  # fwd + bwd
 
 
-def _measure_config(batch_size, matmul_dtype, ds, steps=BENCH_STEPS, balanced=False):
-    """e2e scan-fused throughput for one (batch, dtype, spec) config.
+def _log(msg):
+    print(f"[bench +{time.time() - _T0:.0f}s] {msg}", file=sys.stderr, flush=True)
+
+
+class _Runner:
+    """One (batch, dtype, spec) config: built once (device transfer +
+    compile), measurable in repeated windows. Keeping runners alive lets the
+    main loop interleave windows across wall-clock time — the tunneled
+    link's latency drifts minute-to-minute (up to ~2x), so the max over
+    time-separated windows isolates the program's own rate.
 
     ``balanced=True`` uses the sampler-aware tight spec + size-dealt batch
     composition (graphs/balance.py): ~90% bucket occupancy vs ~55% for the
     cover spec — same math on the real rows, ~1.7x smaller padded shapes.
     """
-    import jax
 
-    from molkgnn_tpu.graphs import spec_for_dataset, spec_for_graphs
-    from molkgnn_tpu.models import MolKGNNNet
-    from molkgnn_tpu.training import GNNModel, TrainConfig, Trainer
+    def __init__(self, batch_size, matmul_dtype, ds, balanced=False):
+        import jax
 
-    if balanced:
-        spec = spec_for_dataset(ds, batch_size)
-    else:
-        spec = spec_for_graphs(ds.graphs, batch_size=batch_size)
-    model = GNNModel(
-        encoder=MolKGNNNet(
-            num_layers=NUM_LAYERS,
-            kernels_1hop=KERNELS,
-            kernels_nhop=KERNELS,
-            graph_embedding_dim=32,
-            drop_ratio=0.2,
-            matmul_dtype=matmul_dtype,
-        ),
-        ffn_dropout_rate=0.25,
-    )
-    cfg = TrainConfig(
-        batch_size=batch_size,
-        max_epochs=1,
-        warmup_iterations=300,
-        weight_decay=1e-3,
-        progress=False,
-        scan_steps=SCAN_STEPS,
-        balanced_batches=balanced,
-    )
-    trainer = Trainer(model, ds, spec, cfg)
-    dev_data = trainer._device_data
-    edge_counts = np.array([g.num_edges for g in ds.graphs])
+        from molkgnn_tpu.graphs import spec_for_dataset, spec_for_graphs
+        from molkgnn_tpu.models import MolKGNNNet
+        from molkgnn_tpu.training import GNNModel, TrainConfig, Trainer
 
-    def id_blocks():
-        stream = trainer._epoch_id_batches(cfg)
-        while True:
-            block = []
-            while len(block) < SCAN_STEPS:
-                try:
-                    block.append(next(stream))
-                except StopIteration:
-                    stream = trainer._epoch_id_batches(cfg)
-            yield np.stack(block)
+        self.batch_size = batch_size
+        self._jax = jax
+        if balanced:
+            spec = spec_for_dataset(ds, batch_size)
+        else:
+            spec = spec_for_graphs(ds.graphs, batch_size=batch_size)
+        model = GNNModel(
+            encoder=MolKGNNNet(
+                num_layers=NUM_LAYERS,
+                kernels_1hop=KERNELS,
+                kernels_nhop=KERNELS,
+                graph_embedding_dim=32,
+                drop_ratio=0.2,
+                matmul_dtype=matmul_dtype,
+            ),
+            ffn_dropout_rate=0.25,
+        )
+        cfg = TrainConfig(
+            batch_size=batch_size,
+            max_epochs=1,
+            warmup_iterations=300,
+            weight_decay=1e-3,
+            progress=False,
+            scan_steps=SCAN_STEPS,
+            balanced_batches=balanced,
+        )
+        t0 = time.time()
+        self.trainer = Trainer(model, ds, spec, cfg)
+        self.dev_data = self.trainer._device_data
+        self.edge_counts = np.array([g.num_edges for g in ds.graphs])
+        _log(f"b{batch_size} setup (incl. device transfer) {time.time()-t0:.0f}s")
 
-    blocks = id_blocks()
-    state = trainer.state
-    state, loss_k = trainer._train_steps_scan(state, dev_data, next(blocks))
-    jax.block_until_ready(loss_k)  # compile
-    _tick()
+        def id_blocks():
+            stream = self.trainer._epoch_id_batches(cfg)
+            while True:
+                block = []
+                while len(block) < SCAN_STEPS:
+                    try:
+                        block.append(next(stream))
+                    except StopIteration:
+                        stream = self.trainer._epoch_id_batches(cfg)
+                yield np.stack(block)
 
-    best = None
-    for _ in range(BENCH_REPEATS):
-        done = 0
-        total_edges = 0
-        t0 = time.perf_counter()
-        while done < steps:
-            block = next(blocks)
-            total_edges += int(edge_counts[block[block >= 0]].sum())
-            state, loss_k = trainer._train_steps_scan(state, dev_data, block)
-            done += SCAN_STEPS
-            _tick()
-        jax.block_until_ready(loss_k)
-        dt = time.perf_counter() - t0
-        row = {
-            "edges_per_s": round(total_edges / dt, 1),
-            "step_ms": round(1e3 * dt / done, 3),
-            "graphs_per_s": round(done * batch_size / dt, 1),
-        }
-        if best is None or row["edges_per_s"] > best["edges_per_s"]:
-            best = row
-    return best
+        self.blocks = id_blocks()
+        self.state = self.trainer.state
+        t0 = time.time()
+        self.state, loss_k = self.trainer._train_steps_scan(
+            self.state, self.dev_data, next(self.blocks)
+        )
+        jax.block_until_ready(loss_k)  # compile
+        _log(f"b{batch_size} compile {time.time()-t0:.0f}s")
+        _tick()
+        self.best = None
+
+    def measure(self, steps=BENCH_STEPS, repeats=BENCH_REPEATS):
+        """Run timed windows; keep the best across ALL calls (time-spread)."""
+        for _ in range(repeats):
+            done = 0
+            total_edges = 0
+            t0 = time.perf_counter()
+            while done < steps:
+                block = next(self.blocks)
+                total_edges += int(
+                    self.edge_counts[block[block >= 0]].sum()
+                )
+                self.state, loss_k = self.trainer._train_steps_scan(
+                    self.state, self.dev_data, block
+                )
+                done += SCAN_STEPS
+                _tick()
+            self._jax.block_until_ready(loss_k)
+            dt = time.perf_counter() - t0
+            row = {
+                "edges_per_s": round(total_edges / dt, 1),
+                "step_ms": round(1e3 * dt / done, 3),
+                "graphs_per_s": round(done * self.batch_size / dt, 1),
+            }
+            if self.best is None or row["edges_per_s"] > self.best["edges_per_s"]:
+                self.best = row
+        _log(
+            f"b{self.batch_size} window: best {self.best['edges_per_s']:.3g} edges/s"
+        )
+        return self.best
 
 
 def main():
     threading.Thread(target=_watchdog, daemon=True).start()
+    t_start = _T0
     import jax
 
     from molkgnn_tpu.data.dataset import make_synthetic_dataset
@@ -203,65 +241,83 @@ def main():
     _tick()
     # Same dataset construction as round 1 for the headline row (spec
     # capacities derive from the graph pool, so pool size is part of the
-    # config); a 4x pool for the batch-1024 rows.
+    # config).
     ds256 = make_synthetic_dataset(seed=0, num_graphs=4 * BATCH_SIZE)
-    ds1024 = make_synthetic_dataset(seed=0, num_graphs=4 * 1024)
-    flops_graph = _flops_per_graph(ds1024.graphs)
 
-    # Headline: batch 256 fp32 cover spec (round-1 comparable).
-    rows = {"b256_fp32": _measure_config(BATCH_SIZE, None, ds256)}
-    _tick()
-    # Compute-bound row: batch 1024, bf16 scoring matmuls (quality-neutral
-    # on the motif learning task: tests/test_training.py bf16 parity).
-    rows["b1024_bf16"] = _measure_config(1024, "bfloat16", ds1024)
-    _tick()
-    # Balanced rows: size-dealt batches on the tight sampler-aware spec
-    # (graphs/balance.py, ~90% occupancy vs ~55%); identical math on real
-    # rows (tests/test_balance.py parity + determinism).
-    rows["b256_fp32_balanced"] = _measure_config(
-        BATCH_SIZE, None, ds256, balanced=True
-    )
-    _tick()
-    rows["b1024_bf16_balanced"] = _measure_config(
-        1024, "bfloat16", ds1024, balanced=True
-    )
-    _tick()
+    # Headline: batch 256 fp32 cover spec (round-1 comparable). Always runs
+    # first AND re-measures in a late window below (tunnel-drift defense).
+    headline = _Runner(BATCH_SIZE, None, ds256)
+    rows = {"b256_fp32": headline.measure()}
+    skipped = []
+
+    def budget_left():
+        return TOTAL_BUDGET_S - (time.time() - t_start)
+
+    # Optional rows, best-first; each is skipped (and reported as skipped)
+    # if the remaining budget cannot cover its setup + compile + windows.
+    ds1024 = None
+    flops_graph = _flops_per_graph(ds256.graphs)
+    for name, need_s, cfg in [
+        # Compute-bound row: batch 1024, bf16 scoring matmuls (quality-
+        # neutral: tests/test_training.py bf16 parity).
+        ("b1024_bf16", 150, dict(bs=1024, dtype="bfloat16", balanced=False)),
+        # Balanced: size-dealt batches on the tight sampler-aware spec
+        # (graphs/balance.py, ~90% occupancy; identical math on real rows).
+        (
+            "b1024_bf16_balanced",
+            150,
+            dict(bs=1024, dtype="bfloat16", balanced=True),
+        ),
+        (
+            "b256_fp32_balanced",
+            120,
+            dict(bs=256, dtype=None, balanced=True),
+        ),
+    ]:
+        if budget_left() < need_s:
+            skipped.append(name)
+            continue
+        if cfg["bs"] == 1024 and ds1024 is None:
+            ds1024 = make_synthetic_dataset(seed=0, num_graphs=4 * 1024)
+            flops_graph = _flops_per_graph(ds1024.graphs)
+        ds = ds1024 if cfg["bs"] == 1024 else ds256
+        runner = _Runner(cfg["bs"], cfg["dtype"], ds, balanced=cfg["balanced"])
+        rows[name] = runner.measure()
+        # Interleave a late headline window after each optional config
+        # (already compiled — costs ~2s) so the reported headline is the
+        # max over time-separated windows, not one tunnel-latency draw.
+        rows["b256_fp32"] = headline.measure(repeats=1)
+        _tick()
 
     best_name = max(rows, key=lambda k: rows[k]["edges_per_s"])
     best = rows[best_name]
     mfu = best["graphs_per_s"] * flops_graph / PEAK_FLOPS_BF16
     r256 = rows["b256_fp32"]
 
-    print(
-        json.dumps(
-            {
-                "metric": "train_edges_per_s_molkgnn_4layer_b256_e2e",
-                "value": r256["edges_per_s"],
-                "unit": "edges/s",
-                "vs_baseline": round(
-                    r256["edges_per_s"] / BASELINE_EDGES_PER_S, 1
-                ),
-                "baseline": BASELINE_PROVENANCE,
-                "e2e_step_ms": r256["step_ms"],
-                "b1024_bf16_edges_per_s": rows["b1024_bf16"]["edges_per_s"],
-                "b256_balanced_edges_per_s": rows["b256_fp32_balanced"][
-                    "edges_per_s"
-                ],
-                "b1024_bf16_balanced_edges_per_s": rows[
-                    "b1024_bf16_balanced"
-                ]["edges_per_s"],
-                "best_config": best_name,
-                "best_edges_per_s": best["edges_per_s"],
-                "best_vs_baseline": round(
-                    best["edges_per_s"] / BASELINE_EDGES_PER_S, 1
-                ),
-                "mfu_best_bf16peak": round(mfu, 4),
-                "matmul_flops_per_graph": round(flops_graph),
-                "scan_steps": SCAN_STEPS,
-                "device": str(jax.devices()[0]),
-            }
-        )
-    )
+    out = {
+        "metric": "train_edges_per_s_molkgnn_4layer_b256_e2e",
+        "value": r256["edges_per_s"],
+        "unit": "edges/s",
+        "vs_baseline": round(r256["edges_per_s"] / BASELINE_EDGES_PER_S, 1),
+        "baseline": BASELINE_PROVENANCE,
+        "e2e_step_ms": r256["step_ms"],
+        "best_config": best_name,
+        "best_edges_per_s": best["edges_per_s"],
+        "best_vs_baseline": round(
+            best["edges_per_s"] / BASELINE_EDGES_PER_S, 1
+        ),
+        "mfu_best_bf16peak": round(mfu, 4),
+        "matmul_flops_per_graph": round(flops_graph),
+        "scan_steps": SCAN_STEPS,
+        "wall_s": round(time.time() - t_start, 1),
+        "device": str(jax.devices()[0]),
+    }
+    for name, row in rows.items():
+        if name != "b256_fp32":
+            out[f"{name}_edges_per_s"] = row["edges_per_s"]
+    if skipped:
+        out["skipped_rows"] = skipped
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
