@@ -25,7 +25,21 @@ from sklearn.metrics import (
 
 
 def sigmoid(x: np.ndarray) -> np.ndarray:
-    return 1.0 / (1.0 + np.exp(-x))
+    """Numerically stable two-branch sigmoid.
+
+    The naive 1/(1+exp(-x)) overflows for large-magnitude negative logits
+    (RuntimeWarning, and 0/0 risk downstream). Branch on sign so exp() only
+    ever sees non-positive arguments; identical values where both forms are
+    finite. Contract: /root/reference/evaluation.py:90-121 (sigmoid feeds
+    the 0.5-cutoff confusion matrices for PPV/accuracy/F1).
+    """
+    x = np.asarray(x, dtype=np.float64)
+    out = np.empty_like(x)
+    pos = x >= 0
+    out[pos] = 1.0 / (1.0 + np.exp(-x[pos]))
+    ex = np.exp(x[~pos])
+    out[~pos] = ex / (1.0 + ex)
+    return out
 
 
 def calculate_logAUC(

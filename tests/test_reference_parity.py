@@ -547,3 +547,34 @@ def test_metrics_failure_branches_match_reference(ref_eval):
     s_all_neg = np.full(20, -10.0)  # sigmoid < 0.5 everywhere: tp + fp == 0
     assert np.isnan(m.calculate_ppv(y, s_all_neg))
     assert np.isnan(ref_eval.calculate_ppv(y, s_all_neg))
+
+
+def test_sigmoid_stable_at_extreme_logits(ref_eval):
+    """VERDICT r2 weak #7: the two-branch sigmoid must be warning-free on
+    large-magnitude logits and equal the naive form where both are finite
+    (reference sigmoid contract: evaluation.py:90-121)."""
+    import warnings
+
+    from molkgnn_tpu.training import metrics as m
+
+    x = np.array([-1e4, -800.0, -30.0, -1.0, 0.0, 1.0, 30.0, 800.0, 1e4])
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # any RuntimeWarning fails the test
+        got = m.sigmoid(x)
+    assert np.all(np.isfinite(got))
+    assert np.all((got >= 0.0) & (got <= 1.0))
+    # Exact saturation at the extremes, monotone in between.
+    assert got[0] == 0.0 and got[-1] == 1.0
+    assert np.all(np.diff(got) >= 0)
+    # Matches the naive form where exp() cannot overflow.
+    mid = np.linspace(-30, 30, 101)
+    np.testing.assert_allclose(m.sigmoid(mid), 1.0 / (1.0 + np.exp(-mid)), rtol=1e-15)
+    # Cutoff metrics stay parity with the reference on extreme logits (the
+    # reference's naive sigmoid underflows to 0.0 for very negative x, which
+    # agrees with our saturated value — same confusion matrix).
+    y = np.array([0, 1] * 8)
+    s = np.concatenate([np.full(8, -500.0), np.full(8, 500.0)])
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")  # reference side may warn
+        want_acc = ref_eval.calculate_accuracy(y, s)
+    np.testing.assert_allclose(m.calculate_accuracy(y, s), want_acc, rtol=1e-12)
