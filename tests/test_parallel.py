@@ -320,6 +320,249 @@ def test_halo_partition_multilayer_matches_single_device():
     np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
 
 
+def _chain_graphs(seed, n_graphs=8, lo=10, hi=16):
+    """Chain molecules with random features: every node's neighborhood is
+    distinct at every layer, so no permutation-score ties exist and halo
+    outputs/grads match the single-device path EXACTLY (not just up to fp
+    tie-breaking)."""
+    from molkgnn_tpu.graphs.molgraph import MolGraph
+
+    rng = np.random.default_rng(seed)
+    graphs = []
+    for i in range(n_graphs):
+        n = int(rng.integers(lo, hi))
+        ei, ea = [], []
+        for u in range(n - 1):
+            attr = rng.standard_normal(7).astype(np.float32)
+            ei += [(u, u + 1), (u + 1, u)]
+            ea += [attr, attr]
+        graphs.append(
+            MolGraph(
+                x=rng.standard_normal((n, 28)).astype(np.float32),
+                p=rng.standard_normal((n, 3)).astype(np.float32),
+                edge_index=np.array(ei, np.int32).T,
+                edge_attr=np.array(ea, np.float32),
+                y=float(i % 2),
+                atomic_num=rng.integers(1, 10, size=n).astype(np.int32),
+            ).with_fields()
+        )
+    return graphs
+
+
+def _assert_states_close(got_state, want_state, rtol=5e-5, atol=1e-6):
+    """Post-AdamW-step state comparison. Tolerance note: unlike the DP test
+    (pmean of bitwise-identical per-shard grads — exact), the halo step
+    genuinely REORDERS fp reductions (per-shard partials pmean'd), so
+    grads carry summation-order noise that Adam's first-step
+    ~sign(g)-normalization can amplify on near-cancelling elements."""
+    np.testing.assert_equal(
+        int(np.asarray(got_state.step)), int(np.asarray(want_state.step))
+    )
+    for name, got_tree, want_tree in [
+        ("params", got_state.params, want_state.params),
+        ("batch_stats", got_state.batch_stats, want_state.batch_stats),
+    ]:
+        got_leaves = jax.tree.leaves(got_tree)
+        want_leaves = jax.tree.leaves(want_tree)
+        assert len(got_leaves) == len(want_leaves), name
+        for g, w in zip(got_leaves, want_leaves):
+            np.testing.assert_allclose(
+                np.asarray(g), np.asarray(w), rtol=rtol, atol=atol
+            )
+
+
+def _tree_graphs(seed, n_graphs=8, lo=12, hi=18):
+    """Random trees with max degree 4 and CONTINUOUS random features.
+
+    Unlike make_synthetic_dataset (discrete atom-like features, where two
+    identical neighbors tie permutation scores EXACTLY and the argmax then
+    routes gradients to a compilation-dependent tied permutation), distinct
+    features make per-element grads well-defined — while still exercising
+    degrees 1-4 and the deg-4 chirality sign."""
+    from molkgnn_tpu.graphs.molgraph import MolGraph
+
+    rng = np.random.default_rng(seed)
+    graphs = []
+    for i in range(n_graphs):
+        n = int(rng.integers(lo, hi))
+        deg = np.zeros(n, np.int64)
+        ei, ea = [], []
+        for v in range(1, n):
+            # attach to a uniformly random earlier node with spare capacity
+            cands = [u for u in range(v) if deg[u] < (4 if u == 0 else 3)]
+            u = int(rng.choice(cands))
+            attr = rng.standard_normal(7).astype(np.float32)
+            ei += [(u, v), (v, u)]
+            ea += [attr, attr]
+            deg[u] += 1
+            deg[v] += 1
+        graphs.append(
+            MolGraph(
+                x=rng.standard_normal((n, 28)).astype(np.float32),
+                p=rng.standard_normal((n, 3)).astype(np.float32),
+                edge_index=np.array(ei, np.int32).T,
+                edge_attr=np.array(ea, np.float32),
+                y=float(i % 2),
+                atomic_num=rng.integers(1, 10, size=n).astype(np.int32),
+            ).with_fields()
+        )
+    return graphs
+
+
+def test_halo_train_step_matches_single_device():
+    """VERDICT r2 item 1: ONE full training step through the halo partition
+    (loss, grads across both all_to_all exchanges, psum'd encoder grads,
+    AdamW update, train-mode BN stats) == the single-device Trainer step on
+    the same batch, to the DP-test tolerance. Single kgnn layer, random
+    trees: degrees 1-4 + chirality exercised with NO tied permutation
+    scores (see _tree_graphs)."""
+    from molkgnn_tpu.data.dataset import Dataset
+    from molkgnn_tpu.parallel.halo import halo_train_step, partition_halo
+
+    graphs = _tree_graphs(seed=41, n_graphs=16)
+    ds = Dataset(
+        name="trees",
+        graphs=graphs,
+        split={
+            "train": np.arange(12),
+            "valid": np.arange(12, 14),
+            "test": np.arange(14, 16),
+        },
+        metrics=["AUC"],
+        loss_name="bce_with_logits",
+    )
+    spec = spec_for_graphs(ds.graphs, batch_size=8)
+    model = GNNModel(
+        encoder=MolKGNNNet(
+            num_layers=1,
+            kernels_1hop=(2, 3, 4, 5),
+            kernels_nhop=(2, 3, 4, 5),
+            graph_embedding_dim=8,
+        ),
+        ffn_dropout_rate=0.0,
+    )
+    cfg = TrainConfig(
+        batch_size=8, max_epochs=1, warmup_iterations=5,
+        oversample=False, progress=False, use_device_data=False,
+    )
+    trainer = Trainer(model, ds, spec, cfg)
+    batch = next(iter(GraphLoader(ds.graphs[:8], spec, 8)))
+    # Chirality must actually be exercised: the trees need deg-4 nodes.
+    assert int(np.asarray(batch.deg4.mask).sum()) > 0
+
+    state_sd = jax.tree.map(jnp.array, trainer.state)  # private copies:
+    state_h = jax.tree.map(jnp.array, trainer.state)  # both steps donate
+    sd_state, sd_loss = trainer._train_step(state_sd, batch)
+
+    mesh = make_mesh(4)
+    hb = partition_halo(batch, 4)
+    step = halo_train_step(model, trainer.tx, mesh)
+    h_state, h_loss = step(state_h, hb)
+
+    np.testing.assert_allclose(float(h_loss), float(sd_loss), rtol=1e-6)
+    _assert_states_close(h_state, sd_state)
+
+
+def test_halo_train_steps_multilayer_match_single_device():
+    """Two consecutive halo train steps on a 3-layer model (two exchanges
+    per layer, gradients crossing SIX all_to_alls per direction) track the
+    single-device Trainer step-for-step: params, BN running stats, and
+    losses all match. Chain molecules — no permutation-score ties."""
+    from molkgnn_tpu.graphs.batch import batch_graphs
+    from molkgnn_tpu.data.dataset import Dataset
+    from molkgnn_tpu.parallel.halo import (
+        halo_stats,
+        halo_train_step,
+        partition_halo,
+    )
+
+    graphs = _chain_graphs(seed=37, n_graphs=16)
+    spec = spec_for_graphs(graphs, batch_size=8)
+    ds = Dataset(
+        name="chains",
+        graphs=graphs,
+        split={
+            "train": np.arange(12),
+            "valid": np.arange(12, 14),
+            "test": np.arange(14, 16),
+        },
+        metrics=["AUC"],
+        loss_name="bce_with_logits",
+    )
+    model = GNNModel(
+        encoder=MolKGNNNet(
+            num_layers=3,
+            kernels_1hop=(2, 3, 4, 5),
+            kernels_nhop=(2, 3, 4, 5),
+            graph_embedding_dim=8,
+        ),
+        ffn_dropout_rate=0.0,
+    )
+    cfg = TrainConfig(
+        batch_size=8, max_epochs=1, warmup_iterations=5,
+        oversample=False, progress=False, use_device_data=False,
+    )
+    trainer = Trainer(model, ds, spec, cfg)
+    batch_a = batch_graphs(graphs[:8], spec)
+    batch_b = batch_graphs(graphs[8:16], spec)
+
+    mesh = make_mesh(8)
+    hb_a = partition_halo(batch_a, 8)
+    # Pin the second batch to the first's capacities: ONE compiled program
+    # for the whole run (production-loader contract, VERDICT r2 item 1).
+    caps = {
+        k: (
+            tuple(max(x, y) for x, y in zip(hb_a.caps()[k], v))
+            if k == "buckets"
+            else max(hb_a.caps()[k], v)
+        )
+        for k, v in partition_halo(batch_b, 8).caps().items()
+    }
+    hb_a = partition_halo(batch_a, 8, caps=caps)
+    hb_b = partition_halo(batch_b, 8, caps=caps)
+    assert halo_stats(hb_a)["halo_rows_per_exchange"] > 0
+
+    state_sd = jax.tree.map(jnp.array, trainer.state)
+    state_h = jax.tree.map(jnp.array, trainer.state)
+    step = halo_train_step(model, trainer.tx, mesh)
+    for batch, hb in [(batch_a, hb_a), (batch_b, hb_b)]:
+        state_sd, sd_loss = trainer._train_step(state_sd, batch)
+        state_h, h_loss = step(state_h, hb)
+        np.testing.assert_allclose(
+            float(h_loss), float(sd_loss), rtol=1e-6
+        )
+    _assert_states_close(state_h, state_sd)
+
+
+def test_halo_partition_pinned_caps_share_shapes():
+    """partition_halo(caps=...) must give every batch identical array
+    shapes (one jit program per run) and raise on overflow."""
+    import pytest
+
+    from molkgnn_tpu.parallel.halo import partition_halo
+
+    ds = make_synthetic_dataset(seed=43, num_graphs=32)
+    spec = spec_for_graphs(ds.graphs, batch_size=8)
+    loader = iter(GraphLoader(ds.graphs, spec, 8))
+    b1, b2 = next(loader), next(loader)
+    caps = {
+        k: (
+            tuple(max(x, y) for x, y in zip(partition_halo(b1, 4).caps()[k], v))
+            if k == "buckets"
+            else max(partition_halo(b1, 4).caps()[k], v)
+        )
+        for k, v in partition_halo(b2, 4).caps().items()
+    }
+    h1 = partition_halo(b1, 4, caps=caps)
+    h2 = partition_halo(b2, 4, caps=caps)
+    s1 = jax.tree.map(lambda a: np.asarray(a).shape, h1)
+    s2 = jax.tree.map(lambda a: np.asarray(a).shape, h2)
+    assert s1 == s2
+    tight = dict(caps, hp=0)
+    with pytest.raises(ValueError, match="hp"):
+        partition_halo(b1, 4, caps=tight)
+
+
 def test_halo_traffic_scales_with_cut_not_graph():
     """The blueprint's bandwidth claim (SURVEY §2.3, halo.py docstring):
     ICI bytes per exchange scale with the CUT SIZE, not the graph size.
