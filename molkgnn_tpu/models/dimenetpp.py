@@ -174,7 +174,11 @@ class DimeNetPP(nn.Module):
         )
 
         # EmbeddingBlock (PyG): emb(z) uniform(-sqrt3, sqrt3); message per
-        # edge from cat(x_j, x_i, rbf).
+        # edge from cat(x_i, x_j, rbf) — TARGET embedding first, matching
+        # PyG's EmbeddingBlock and the same family's init block in the
+        # reference (spherenet.py:441: cat([x[i], x[j], rbf0])). Round-2
+        # carried cat(x_j, x_i, ...) here — caught by the full-forward
+        # reference parity test (VERDICT r2 item 4).
         def _emb_init(key, shape, dtype=jnp.float32):
             s = math.sqrt(3)
             return jax.random.uniform(key, shape, dtype, minval=-s, maxval=s)
@@ -184,7 +188,7 @@ class DimeNetPP(nn.Module):
         rbf_h = swish(TorchLinear(self.hidden_channels, name="emb_lin_rbf")(rbf))
         x = swish(
             TorchLinear(self.hidden_channels, name="emb_lin")(
-                jnp.concatenate([xz[j], xz[i], rbf_h], axis=-1)
+                jnp.concatenate([xz[i], xz[j], rbf_h], axis=-1)
             )
         )
 

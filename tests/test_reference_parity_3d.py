@@ -72,15 +72,28 @@ def _ensure_stubs():
     if not hasattr(tg, "nn"):
         tg_nn = types.ModuleType("torch_geometric.nn")
 
-        def radius_graph(pos, r, batch=None):
+        def radius_graph(pos, r, batch=None, max_num_neighbors=32):
             # Generic contract: directed (j, i) for every same-graph pair
             # with |pos_j - pos_i| < r, j != i (symmetric set, so the
-            # row/col direction convention cancels).
+            # row/col direction convention cancels). Boundary differs from
+            # torch_cluster by < vs <= (measure-zero on real conformers).
+            # torch_cluster also CAPS neighbors per query point at
+            # max_num_neighbors=32, dropping the excess in implementation-
+            # defined order (ADVICE r2); real molecular conformers never
+            # reach 32 in-cutoff neighbors, so instead of emulating an
+            # arbitrary truncation order we assert the cap is not binding —
+            # making the stub's output provably equal to torch_cluster's.
             n = pos.shape[0]
             d = torch.cdist(pos, pos)
             mask = (d < r) & ~torch.eye(n, dtype=torch.bool)
             if batch is not None:
                 mask &= batch[:, None] == batch[None, :]
+            per_node = mask.sum(dim=1)
+            assert int(per_node.max()) < max_num_neighbors, (
+                "radius_graph stub: a node has >= max_num_neighbors "
+                f"({int(per_node.max())} >= {max_num_neighbors}) in-cutoff "
+                "neighbors; the real torch_cluster would truncate here"
+            )
             i_idx, j_idx = mask.nonzero(as_tuple=True)
             return torch.stack([j_idx, i_idx])
 
@@ -99,6 +112,104 @@ def _ensure_stubs():
         tg_nn.global_mean_pool = global_mean_pool
         tg.nn = tg_nn
         sys.modules["torch_geometric.nn"] = tg_nn
+
+    if not hasattr(tg.nn, "NNConv"):
+
+        class NNConv(torch.nn.Module):
+            """PyG NNConv (edge-conditioned conv), documented contract:
+            out_i = lin(x_i) + sum_{j->i} x_j @ nn(e_ji).view(F_in, F_out)
+            with aggr='add', root_weight=True."""
+
+            def __init__(self, in_channels, out_channels, nn, aggr="add",
+                         root_weight=True, bias=True):
+                super().__init__()
+                assert aggr == "add" and root_weight
+                self.in_channels = in_channels
+                self.out_channels = out_channels
+                self.nn = nn
+                self.lin = torch.nn.Linear(
+                    in_channels, out_channels, bias=False
+                )
+                self.bias = (
+                    torch.nn.Parameter(torch.zeros(out_channels))
+                    if bias
+                    else None
+                )
+
+            def forward(self, x, edge_index, edge_attr):
+                j, i = edge_index
+                w = self.nn(edge_attr).view(
+                    -1, self.in_channels, self.out_channels
+                )
+                msgs = torch.bmm(x[j].unsqueeze(1), w).squeeze(1)
+                out = torch.zeros(
+                    (x.shape[0], self.out_channels), dtype=x.dtype
+                ).index_add(0, i, msgs)
+                out = out + self.lin(x)
+                if self.bias is not None:
+                    out = out + self.bias
+                return out
+
+        class GATConv(torch.nn.Module):
+            """PyG GATConv, documented contract: per-head projections,
+            attention logits LeakyReLU(a_src . xh_j + a_dst . xh_i),
+            per-target softmax over {incoming edges} U {self-loops},
+            concat=False -> head mean, + bias. Attention dropout only in
+            train mode (these tests run eval)."""
+
+            def __init__(self, in_channels, out_channels, heads=1,
+                         concat=False, negative_slope=0.2, dropout=0.0,
+                         add_self_loops=True, bias=True,
+                         flow="source_to_target"):
+                super().__init__()
+                assert not concat and flow == "source_to_target"
+                self.H, self.C = heads, out_channels
+                self.negative_slope = negative_slope
+                self.add_self_loops = add_self_loops
+                self.lin = torch.nn.Linear(
+                    in_channels, heads * out_channels, bias=False
+                )
+                self.att_src = torch.nn.Parameter(
+                    torch.randn(1, heads, out_channels)
+                )
+                self.att_dst = torch.nn.Parameter(
+                    torch.randn(1, heads, out_channels)
+                )
+                self.bias = (
+                    torch.nn.Parameter(torch.zeros(out_channels))
+                    if bias
+                    else None
+                )
+
+            def forward(self, x, edge_index):
+                n = x.shape[0]
+                j, i = edge_index
+                if self.add_self_loops:
+                    loop = torch.arange(n)
+                    j = torch.cat([j, loop])
+                    i = torch.cat([i, loop])
+                xh = self.lin(x).view(n, self.H, self.C)
+                a_src = (xh * self.att_src).sum(-1)  # [N, H]
+                a_dst = (xh * self.att_dst).sum(-1)
+                e = torch.nn.functional.leaky_relu(
+                    a_src[j] + a_dst[i], self.negative_slope
+                )  # [E+N, H]
+                mx = torch.full((n, self.H), float("-inf")).index_reduce(
+                    0, i, e, "amax", include_self=False
+                )
+                ex = torch.exp(e - mx[i])
+                den = torch.zeros((n, self.H)).index_add(0, i, ex)
+                alpha = ex / den[i]
+                out = torch.zeros((n, self.H, self.C)).index_add(
+                    0, i, xh[j] * alpha.unsqueeze(-1)
+                )
+                out = out.mean(dim=1)
+                if self.bias is not None:
+                    out = out + self.bias
+                return out
+
+        tg.nn.NNConv = NNConv
+        tg.nn.GATConv = GATConv
 
     if not hasattr(tg.nn, "resolver"):
         tg_resolver = types.ModuleType("torch_geometric.nn.resolver")
@@ -146,28 +257,231 @@ def _ensure_stubs():
                 self.lin1 = torch.nn.Linear(hidden_channels, hidden_channels)
                 self.lin2 = torch.nn.Linear(hidden_channels, hidden_channels)
 
+            def reset_parameters(self):
+                # PyG: glorot-orthogonal weights, zero biases; the tests
+                # inject exact params afterwards, so only shapes matter.
+                glorot_orthogonal(self.lin1.weight, scale=2.0)
+                self.lin1.bias.data.fill_(0)
+                glorot_orthogonal(self.lin2.weight, scale=2.0)
+                self.lin2.bias.data.fill_(0)
+
             def forward(self, x):
                 return x + self.act(self.lin2(self.act(self.lin1(x))))
 
-        class _NeverConstructed:
-            def __init__(self, *a, **kw):
-                raise AssertionError("placeholder must not be instantiated")
+        # The PyG dimenet basis/embedding layers, implemented to their
+        # documented contracts. The symbolic Bessel / real-spherical-
+        # harmonic construction is NOT re-derived here: it is lazily
+        # borrowed from the REFERENCE'S OWN spherenet.py codegen
+        # (bessel_basis / real_sph_harm, spherenet.py:121-255 — the same
+        # published DimeNet construction PyG vendors), so the math under
+        # test stays the reference's.
+
+        class Envelope(torch.nn.Module):
+            # PyG Envelope: smooth-cutoff polynomial u(x) with u(1) = 0,
+            # plus the (x < 1) gate PyG applies (radius_graph guarantees
+            # x < 1 on real edges, and u(1) = 0 anyway).
+            def __init__(self, exponent):
+                super().__init__()
+                self.p = exponent + 1
+                self.a = -(self.p + 1) * (self.p + 2) / 2
+                self.b = self.p * (self.p + 2)
+                self.c = -self.p * (self.p + 1) / 2
+
+            def forward(self, x):
+                p, a, b, c = self.p, self.a, self.b, self.c
+                x0 = x.pow(p - 1)
+                x1 = x0 * x
+                x2 = x1 * x
+                return (1.0 / x + a * x0 + b * x1 + c * x2) * (x < 1.0).to(
+                    x.dtype
+                )
+
+        class BesselBasisLayer(torch.nn.Module):
+            def __init__(self, num_radial, cutoff=5.0, envelope_exponent=5):
+                super().__init__()
+                self.cutoff = cutoff
+                self.envelope = Envelope(envelope_exponent)
+                self.freq = torch.nn.Parameter(torch.empty(num_radial))
+                self.reset_parameters()
+
+            def reset_parameters(self):
+                with torch.no_grad():
+                    torch.arange(1, self.freq.numel() + 1, out=self.freq)
+                    self.freq.mul_(torch.pi)
+
+            def forward(self, dist):
+                dist = dist.unsqueeze(-1) / self.cutoff
+                return self.envelope(dist) * (self.freq * dist).sin()
+
+        class SphericalBasisLayer(torch.nn.Module):
+            def __init__(
+                self, num_spherical, num_radial, cutoff=5.0,
+                envelope_exponent=5,
+            ):
+                super().__init__()
+                import sympy as sym
+
+                ref_sphere = _ref_spherenet_module()
+                self.num_spherical = num_spherical
+                self.num_radial = num_radial
+                self.cutoff = cutoff
+                self.envelope = Envelope(envelope_exponent)
+                bessel_forms = ref_sphere.bessel_basis(
+                    num_spherical, num_radial
+                )
+                sph_harm_forms = ref_sphere.real_sph_harm(num_spherical)
+                self.sph_funcs = []
+                self.bessel_funcs = []
+                x, theta = sym.symbols("x theta")
+                modules = {"sin": torch.sin, "cos": torch.cos}
+                for i in range(num_spherical):
+                    if i == 0:
+                        sph1 = sym.lambdify(
+                            [theta], sph_harm_forms[i][0], modules
+                        )(0)
+                        self.sph_funcs.append(
+                            lambda x, c=sph1: torch.zeros_like(x) + c
+                        )
+                    else:
+                        self.sph_funcs.append(
+                            sym.lambdify([theta], sph_harm_forms[i][0], modules)
+                        )
+                    for j in range(num_radial):
+                        self.bessel_funcs.append(
+                            sym.lambdify([x], bessel_forms[i][j], modules)
+                        )
+
+            def forward(self, dist, angle, idx_kj):
+                dist = dist / self.cutoff
+                rbf = torch.stack([f(dist) for f in self.bessel_funcs], dim=1)
+                # PyG applies the envelope here (unlike the reference's
+                # local angle_emb copy, which comments it out).
+                rbf = self.envelope(dist).unsqueeze(-1) * rbf
+                cbf = torch.stack([f(angle) for f in self.sph_funcs], dim=1)
+                n, k = self.num_spherical, self.num_radial
+                return (
+                    rbf[idx_kj].view(-1, n, k) * cbf.view(-1, n, 1)
+                ).view(-1, n * k)
+
+        class EmbeddingBlock(torch.nn.Module):
+            # PyG contract: 95-row atom embedding, rbf projection, one
+            # linear over cat([x_i, x_j, rbf]) — TARGET embedding first
+            # (same family as the reference's init block,
+            # spherenet.py:441).
+            def __init__(self, num_radial, hidden_channels, act):
+                super().__init__()
+                import math
+
+                self.act = act
+                self.emb = torch.nn.Embedding(95, hidden_channels)
+                self.lin_rbf = torch.nn.Linear(num_radial, hidden_channels)
+                self.lin = torch.nn.Linear(3 * hidden_channels, hidden_channels)
+                with torch.no_grad():
+                    self.emb.weight.uniform_(-math.sqrt(3), math.sqrt(3))
+
+            def reset_parameters(self):
+                pass  # params are injected by the tests after construction
+
+            def forward(self, x, rbf, i, j):
+                x = self.emb(x)
+                rbf = self.act(self.lin_rbf(rbf))
+                return self.act(
+                    self.lin(torch.cat([x[i], x[j], rbf], dim=-1))
+                )
 
         tg_dimenet.ResidualLayer = ResidualLayer
-        tg_dimenet.BesselBasisLayer = _NeverConstructed
-        tg_dimenet.SphericalBasisLayer = _NeverConstructed
-        tg_dimenet.EmbeddingBlock = _NeverConstructed
-        tg_dimenet.Envelope = _NeverConstructed
+        tg_dimenet.BesselBasisLayer = BesselBasisLayer
+        tg_dimenet.SphericalBasisLayer = SphericalBasisLayer
+        tg_dimenet.EmbeddingBlock = EmbeddingBlock
+        tg_dimenet.Envelope = Envelope
         tg.nn.models = tg_models
         tg_models.dimenet = tg_dimenet
         sys.modules["torch_geometric.nn.models"] = tg_models
         sys.modules["torch_geometric.nn.models.dimenet"] = tg_dimenet
 
-    if "torch_sparse" not in sys.modules:
-        tsp = types.ModuleType("torch_sparse")
+    if "torch_sparse" not in sys.modules or not hasattr(
+        sys.modules["torch_sparse"].SparseTensor, "storage"
+    ):
+        tsp = sys.modules.get("torch_sparse") or types.ModuleType(
+            "torch_sparse"
+        )
 
-        class SparseTensor:  # import-time placeholder; never instantiated
-            pass
+        class _Storage:
+            def __init__(self, row, col, value):
+                self._row, self._col, self._value = row, col, value
+
+            def row(self):
+                return self._row
+
+            def col(self):
+                return self._col
+
+            def value(self):
+                return self._value
+
+        class SparseTensor:
+            """torch_sparse.SparseTensor's documented CSR contract, the
+            subset DimeNet's triplets() uses (dimenet_pp.py:304-325):
+            construction sorts coordinates by (row, col); ``adj[idx]``
+            row-slices (result row k = original row idx[k], preserving
+            intra-row order); ``set_value(None).sum(dim=1)`` yields
+            per-row nnz counts; ``storage.row/col/value`` expose the
+            COO views of the (sliced) tensor."""
+
+            def __init__(self, row=None, col=None, value=None,
+                         sparse_sizes=None):
+                n_rows, n_cols = sparse_sizes
+                perm = torch.argsort(row * n_cols + col)
+                self._row = row[perm]
+                self._col = col[perm]
+                self._value = None if value is None else value[perm]
+                self._sizes = tuple(sparse_sizes)
+                counts = torch.zeros(n_rows, dtype=torch.long).index_add(
+                    0, self._row, torch.ones_like(self._row)
+                )
+                self._rowptr = torch.zeros(n_rows + 1, dtype=torch.long)
+                self._rowptr[1:] = torch.cumsum(counts, 0)
+
+            @classmethod
+            def _from_coo(cls, row, col, value, sizes, rowptr):
+                new = object.__new__(cls)
+                new._row, new._col, new._value = row, col, value
+                new._sizes, new._rowptr = sizes, rowptr
+                return new
+
+            def __getitem__(self, idx):
+                counts = self._rowptr[idx + 1] - self._rowptr[idx]
+                total = int(counts.sum())
+                out_row = torch.repeat_interleave(
+                    torch.arange(len(idx)), counts
+                )
+                start_of_out_row = torch.cumsum(counts, 0) - counts
+                offs = torch.arange(total) - start_of_out_row[out_row]
+                pos = self._rowptr[idx][out_row] + offs
+                counts = counts.long()
+                rowptr = torch.zeros(len(idx) + 1, dtype=torch.long)
+                rowptr[1:] = torch.cumsum(counts, 0)
+                return SparseTensor._from_coo(
+                    out_row,
+                    self._col[pos],
+                    None if self._value is None else self._value[pos],
+                    (len(idx), self._sizes[1]),
+                    rowptr,
+                )
+
+            def set_value(self, value, layout=None):
+                assert value is None
+                return SparseTensor._from_coo(
+                    self._row, self._col, None, self._sizes, self._rowptr
+                )
+
+            def sum(self, dim):
+                assert dim == 1 and self._value is None
+                return self._rowptr[1:] - self._rowptr[:-1]
+
+            @property
+            def storage(self):
+                return _Storage(self._row, self._col, self._value)
 
         tsp.SparseTensor = SparseTensor
         sys.modules["torch_sparse"] = tsp
@@ -204,6 +518,27 @@ def _load_ref(path, name):
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
     return mod
+
+
+_REF_SPHERENET_CACHE = []
+
+
+def _ref_spherenet_module():
+    """The reference's own spherenet.py, lazily loaded for its symbolic
+    bessel_basis / real_sph_harm codegen (spherenet.py:121-255), which the
+    SphericalBasisLayer stub borrows (see _ensure_stubs)."""
+    if not _REF_SPHERENET_CACHE:
+        if not hasattr(np, "math"):
+            import math as _math
+
+            np.math = _math
+        _REF_SPHERENET_CACHE.append(
+            _load_ref(
+                "/root/reference/models/ChIRoNet/gnn_3D/spherenet.py",
+                "ref_spherenet_codegen",
+            )
+        )
+    return _REF_SPHERENET_CACHE[0]
 
 
 def _t(a):
@@ -795,6 +1130,108 @@ def test_dimenetpp_output_block_matches_reference(ref_dimenet):
         _t(x), _t(rbf), torch.tensor(i, dtype=torch.long), num_nodes=N
     ).detach().numpy()
     np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-6)
+
+
+def test_dimenetpp_forward_matches_reference(ref_dimenet):
+    """END-TO-END DimeNet++ (VERDICT r2 item 4): the reference's own
+    DimeNetPlusPlus.forward (dimenet_pp.py:192-369) — its own radius graph,
+    its own SparseTensor-row-slicing triplet enumeration, atan2 angles,
+    Bessel/spherical bases, embedding block, interaction blocks, and
+    per-block output summation — vs models/dimenetpp.py with injected
+    weights on shared synthetic conformers. The SparseTensor / basis-layer
+    stubs implement only documented generic contracts (the symbolic basis
+    codegen is the reference spherenet.py's own)."""
+    from torch_geometric.data import Data  # noqa: F401 (stub sanity)
+
+    from molkgnn_tpu.data.dataset import make_synthetic_dataset
+    from molkgnn_tpu.graphs.geometric import batch_points, point_spec_for_graphs
+    from molkgnn_tpu.models.dimenetpp import DimeNetPP
+
+    cfg = dict(
+        hidden_channels=16,
+        out_channels=4,
+        num_blocks=2,
+        int_emb_size=8,
+        basis_emb_size=4,
+        out_emb_channels=12,
+        num_spherical=3,
+        num_radial=4,
+        cutoff=4.0,
+        envelope_exponent=5,
+        num_before_skip=1,
+        num_after_skip=1,
+        num_output_layers=2,
+    )
+    ds = make_synthetic_dataset(seed=13, num_graphs=8)
+    spec = point_spec_for_graphs(
+        ds.graphs, batch_size=4, cutoff=cfg["cutoff"], with_triplets=True
+    )
+    batch = batch_points(ds.graphs[:4], spec)
+    assert int(np.asarray(batch.tri_mask).sum()) > 0
+
+    model = DimeNetPP(**cfg)
+    params = model.init(jax.random.key(5), batch)["params"]
+    got = np.asarray(model.apply({"params": params}, batch))
+
+    ref = ref_dimenet.DimeNetPlusPlus(
+        hidden_channels=cfg["hidden_channels"],
+        out_channels=cfg["out_channels"],
+        num_blocks=cfg["num_blocks"],
+        int_emb_size=cfg["int_emb_size"],
+        basis_emb_size=cfg["basis_emb_size"],
+        out_emb_channels=cfg["out_emb_channels"],
+        num_spherical=cfg["num_spherical"],
+        num_radial=cfg["num_radial"],
+        cutoff=cfg["cutoff"],
+        envelope_exponent=cfg["envelope_exponent"],
+        num_before_skip=cfg["num_before_skip"],
+        num_after_skip=cfg["num_after_skip"],
+        num_output_layers=cfg["num_output_layers"],
+    )
+    with torch.no_grad():
+        ref.rbf.freq.copy_(_t(params["rbf_freq"]))
+        ref.emb.emb.weight.copy_(_t(params["emb"]))
+    _copy_linear(ref.emb.lin_rbf, params["emb_lin_rbf"])
+    _copy_linear(ref.emb.lin, params["emb_lin"])
+    for blk in range(cfg["num_blocks"] + 1):
+        po = params[f"output{blk}"]
+        ro = ref.output_blocks[blk]
+        _copy_linear(ro.lin_rbf, po["lin_rbf"])
+        _copy_linear(ro.lin_up, po["lin_up"])
+        for k in range(cfg["num_output_layers"]):
+            _copy_linear(ro.lins[k], po[f"lin{k}"])
+        _copy_linear(ro.lin, po["lin"])
+    for blk in range(cfg["num_blocks"]):
+        pi = params[f"interaction{blk}"]
+        ri = ref.interaction_blocks[blk]
+        for name in (
+            "lin_ji", "lin_kj", "lin_rbf1", "lin_rbf2", "lin_sbf1",
+            "lin_sbf2", "lin_down", "lin_up", "lin",
+        ):
+            _copy_linear(getattr(ri, name), pi[name])
+        for k in range(cfg["num_before_skip"]):
+            _copy_linear(ri.layers_before_skip[k].lin1, pi[f"before_skip{k}"]["lin1"])
+            _copy_linear(ri.layers_before_skip[k].lin2, pi[f"before_skip{k}"]["lin2"])
+        for k in range(cfg["num_after_skip"]):
+            _copy_linear(ri.layers_after_skip[k].lin1, pi[f"after_skip{k}"]["lin1"])
+            _copy_linear(ri.layers_after_skip[k].lin2, pi[f"after_skip{k}"]["lin2"])
+    ref.eval()
+
+    node_mask = np.asarray(batch.node_mask)
+    n_real = int(node_mask.sum())
+    assert node_mask[:n_real].all(), "real nodes must be a prefix"
+    want = ref(
+        z=torch.tensor(np.asarray(batch.z)[:n_real], dtype=torch.long),
+        pos=_t(np.asarray(batch.pos)[:n_real]),
+        batch=torch.tensor(
+            np.asarray(batch.node_graph_id)[:n_real], dtype=torch.long
+        ),
+    ).detach().numpy()
+
+    assert got.shape == want.shape == (4, cfg["out_channels"])
+    # Triplet/edge enumeration ORDERS differ (host precompute vs
+    # SparseTensor slicing) — scatter-sum fp tolerance, not bitwise.
+    np.testing.assert_allclose(got, want, rtol=5e-4, atol=2e-5)
 
 
 # --------------------------------- ChIRo losses / local-structure grouping
