@@ -1549,3 +1549,174 @@ def test_molkgnn_full_model_matches_reference(ref_molkgnn_pkg):
         torch.set_default_dtype(prev_default)
     assert got.shape == want.shape == (4, emb_dim)
     np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-10)
+
+
+# ------------------------------------------- ChIRoNet full Encoder forward
+
+
+@pytest.mark.parametrize("cmp_on", [False, True])
+def test_chironet_encoder_forward_matches_reference(
+    ref_alpha, chiro_batch, cmp_on
+):
+    """END-TO-END ChIRoNet Encoder (VERDICT r2 item 5): the reference's own
+    Encoder.forward (alpha_encoder.py:261-368) — GraphNodeEmbedder =
+    NNConv(edge-MLP) + GAT stack (alpha_encoder.py:40-87), the
+    InternalCoordinateEncoder, and (parametrized) ChiralMessagePassing
+    (alpha_encoder.py:89-133) — vs models/chironet.py::ChIRoNet with
+    injected weights on real embedded molecules. Compares BOTH outputs the
+    main paths consume: mol_embedding (ChIRoNet.py:54) and the pooled
+    internal-coordinate latent. The NNConv/GATConv stubs implement only
+    PyG's documented contracts (edge-conditioned conv with root weight;
+    per-target attention softmax with self-loops, head-mean)."""
+    from molkgnn_tpu.models.chironet import ChIRoNet
+
+    batch = chiro_batch
+    f_in = int(np.asarray(batch.x).shape[-1])
+    f_e = int(np.asarray(batch.edge_attr).shape[-1])
+    F_HH, F_ECONV = 10, 12
+
+    model = ChIRoNet(
+        f_z=F_Z,
+        f_h=F_HH,
+        f_h_econv=F_ECONV,
+        econv_mlp_hidden=(8,),
+        gat_hidden=(12,),
+        gat_heads=2,
+        hidden_d=HID["d"],
+        hidden_phi=HID["phi"],
+        hidden_c=HID["c"],
+        hidden_shift=HID["shift"],
+        hidden_alpha=HID["alpha"],
+        c_normalization="sigmoid",
+        reduction="sum",
+        chiral_message_passing=cmp_on,
+        cmp_econv_hidden=(8,),
+        cmp_gat_layers=2,
+        cmp_gat_heads=1,
+        output_mode="both",
+    )
+    variables = model.init(jax.random.key(7), batch)
+    got = np.asarray(model.apply(variables, batch))
+    got_mol, got_latent = got[:, :F_HH], got[:, F_HH:]
+
+    act = {
+        "EConv_mlp_hidden_activation": torch.nn.LeakyReLU(0.01),
+        "EConv_mlp_output_activation": torch.nn.Identity(),
+    }
+    for enc in ("D", "phi", "c", "sinusoidal_shift", "alpha"):
+        act[f"encoder_hidden_activation_{enc}"] = torch.nn.LeakyReLU(0.01)
+        act[f"encoder_output_activation_{enc}"] = torch.nn.Identity()
+    layers = {
+        "EConv_mlp_hidden_sizes": [8],
+        "GAT_hidden_node_sizes": [12],
+        "encoder_hidden_sizes_D": list(HID["d"]),
+        "encoder_hidden_sizes_phi": list(HID["phi"]),
+        "encoder_hidden_sizes_c": list(HID["c"]),
+        "encoder_hidden_sizes_sinusoidal_shift": list(HID["shift"]),
+        "encoder_hidden_sizes_alpha": list(HID["alpha"]),
+        "output_mlp_hidden_sizes": [],
+    }
+    ref = ref_alpha.Encoder(
+        F_z_list=list(F_Z),
+        F_H=F_HH,
+        F_H_embed=f_in,
+        F_E_embed=f_e,
+        F_H_EConv=F_ECONV,
+        layers_dict=layers,
+        activation_dict=act,
+        GAT_N_heads=2,
+        chiral_message_passing=cmp_on,
+        CMP_EConv_MLP_hidden_sizes=[8],
+        CMP_GAT_N_layers=2,
+        CMP_GAT_N_heads=1,
+        c_coefficient_normalization="sigmoid",
+        encoder_reduction="sum",
+        output_concatenation_mode="none",
+        EConv_bias=True,
+        GAT_bias=True,
+        encoder_biases=True,
+        dropout=0.0,
+    )
+    p = variables["params"]
+
+    def copy_nnconv(ref_conv, pc):
+        for k, lin in enumerate(ref_conv.nn.linear_layers):
+            _copy_linear(lin, pc["nn"][f"lin{k}"])
+        with torch.no_grad():
+            ref_conv.lin.weight.copy_(_t(pc["root"]).T)
+            ref_conv.bias.copy_(_t(pc["bias"]))
+
+    def copy_gat(ref_gat, pg):
+        with torch.no_grad():
+            ref_gat.lin.weight.copy_(_t(pg["lin"]).T)
+            ref_gat.att_src.copy_(_t(pg["att_src"]))
+            ref_gat.att_dst.copy_(_t(pg["att_dst"]))
+            ref_gat.bias.copy_(_t(pg["bias"]))
+
+    copy_nnconv(ref.Graph_Embedder.EConv, p["EConv"])
+    for gi in range(2):  # gat_hidden (12,) + final F_H layer
+        copy_gat(ref.Graph_Embedder.GAT_layers[gi], p[f"GAT{gi}"])
+    for name in (
+        "Encoder_D", "Encoder_phi", "Encoder_c",
+        "Encoder_sinusoidal_shift", "Encoder_alpha",
+    ):
+        ref_mlp = getattr(ref.InternalCoordinateEncoder, name)
+        for k, lin in enumerate(ref_mlp.linear_layers):
+            _copy_linear(lin, p["InternalCoordinateEncoder"][name][f"lin{k}"])
+    if cmp_on:
+        copy_nnconv(ref.ChiralMessagePassingEncoder.ChiralEConv, p["ChiralEConv"])
+        for gi in range(2):
+            copy_gat(
+                ref.ChiralMessagePassingEncoder.ChiralGATLayers[gi],
+                p[f"ChiralGAT{gi}"],
+            )
+    ref.eval()
+
+    node_mask = np.asarray(batch.node_mask)
+    n_real = int(node_mask.sum())
+    assert node_mask[:n_real].all()
+    (esrc, edst, eattr) = _strip(
+        batch.edge_mask, batch.edge_src, batch.edge_dst, batch.edge_attr
+    )
+    (di, dj, dists) = _strip(
+        batch.dist_mask, batch.dist_i, batch.dist_j, batch.distances
+    )
+    (ai, aj, ak, angs) = _strip(
+        batch.ang_mask, batch.ang_i, batch.ang_j, batch.ang_k, batch.angles
+    )
+    (si, sj, sk, sl, dihs, ls) = _strip(
+        batch.dih_mask, batch.dih_i, batch.dih_j, batch.dih_k, batch.dih_l,
+        batch.dihedrals, batch.ls_map,
+    )
+    (ax, ay) = _strip(batch.alpha_mask, batch.alpha_x, batch.alpha_y)
+    long = lambda a: torch.tensor(np.asarray(a), dtype=torch.long)
+
+    class _Data:
+        pass
+
+    data = _Data()
+    data.x = _t(np.asarray(batch.x)[:n_real])
+    data.edge_index = torch.stack([long(esrc), long(edst)])
+    data.edge_attr = _t(eattr)
+    data.bond_distances = _t(dists)
+    data.bond_distance_index = torch.stack([long(di), long(dj)])
+    data.bond_angles = _t(angs)
+    data.bond_angle_index = torch.stack([long(ai), long(aj), long(ak)])
+    data.dihedral_angles = _t(dihs)
+    data.dihedral_angle_index = torch.stack(
+        [long(si), long(sj), long(sk), long(sl)]
+    )
+    data.batch = long(np.asarray(batch.node_graph_id)[:n_real])
+
+    out = ref(
+        data,
+        LS_map=long(ls),
+        alpha_indices=torch.stack([long(ax), long(ay)]),
+    )
+    want_latent = out[0].detach().numpy()
+    want_mol = out[3].detach().numpy()
+
+    assert got_mol.shape == want_mol.shape == (4, F_HH)
+    assert got_latent.shape == want_latent.shape == (4, sum(F_Z))
+    np.testing.assert_allclose(got_mol, want_mol, rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(got_latent, want_latent, rtol=2e-4, atol=2e-5)
