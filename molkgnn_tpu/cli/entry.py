@@ -205,12 +205,18 @@ def load_dataset(args):
     from molkgnn_tpu.data.dataset import (
         D4DCHP_DATASET_NAMES,
         QSAR_DATASET_NAMES,
+        make_motif_dataset,
         make_synthetic_dataset,
     )
 
     name = args.dataset_name
     if name == "synthetic":
         return make_synthetic_dataset(seed=args.seed, num_graphs=256)
+    if name == "synthetic_motif":
+        # Learnable smoke task (planted deg-4 motif): random-label
+        # ``synthetic`` gives noise metrics by construction; this one's
+        # curves are real training evidence (see logs/history.json).
+        return make_motif_dataset(seed=args.seed, num_graphs=256)
     if name in QSAR_DATASET_NAMES:
         from molkgnn_tpu.data.qsar import load_qsar_dataset
 

@@ -23,6 +23,16 @@ Training semantics: the sampled multiset of each epoch is exactly the
 reference's WeightedRandomSampler draw (/root/reference/data.py:144-166) —
 only the *composition* of batches changes, from iid draw order to
 size-stratified dealing. Opt-in via ``TrainConfig.balanced_batches``.
+
+THROUGHPUT VERDICT (measured, r3): the occupancy win does NOT convert to
+end-to-end throughput. The interleaved on-TPU A/B
+(benchmarks/compare_balanced.py -> benchmarks/BALANCED_AB.json) has
+balanced at 0.70x cover (b1024 bf16) and 0.87x (b256 fp32): the cover
+spec's matmuls are already MXU-saturated at these batches, and the
+dealing + overflow check sit on the dispatch path at every epoch
+boundary. Keep this OFF for throughput; it remains useful where a tight
+spec is needed to FIT (memory-bound shapes) and for eval over arbitrary
+id subsets.
 """
 
 from __future__ import annotations

@@ -87,10 +87,13 @@ class TrainConfig:
     # sampler stream in draw order. Per-batch field sums then concentrate
     # around the mean, which lets a tight sampler-aware BatchSpec
     # (balance.spec_for_dataset) replace the ~55%-occupancy cover spec —
-    # ~1.7x smaller padded shapes, identical math on real rows. The epoch's
-    # sampled multiset is unchanged; only batch composition differs.
-    # Requires the device-data path; every dealt epoch is host-checked
-    # against the spec (gather_batch cannot detect overflow on device).
+    # identical math on real rows. NOTE: measured on TPU this LOSES
+    # throughput end-to-end (benchmarks/BALANCED_AB.json: 0.70-0.87x the
+    # cover spec — the cover matmuls are already MXU-saturated and the
+    # dealing sits on the dispatch path); use it to FIT memory, not to go
+    # faster. Requires the device-data path; every dealt epoch is
+    # host-checked against the spec (gather_batch cannot detect overflow
+    # on device).
     balanced_batches: bool = False
     # Fuse this many optimizer steps into ONE device dispatch with lax.scan
     # (device-data path only). Each dispatch pays the host->device program

@@ -53,12 +53,16 @@ def _dataset(name, graphs, n_train):
 
 
 def _fit_auc(gnn_type, graphs, n_train, encoder_kw, spec_kw, cfg_kw):
+    import tempfile
+
     fam = get_family(gnn_type)
     ds = _dataset(f"learn3d-{gnn_type}", graphs, n_train)
     spec = fam.make_spec(graphs, batch_size=cfg_kw["batch_size"], **spec_kw)
     model = GNNModel(encoder=fam.make_encoder(**encoder_kw), ffn_dropout_rate=0.0)
     cfg = TrainConfig(
-        oversample=False, progress=False, warmup_iterations=10, **cfg_kw
+        oversample=False, progress=False, warmup_iterations=10,
+        log_dir=tempfile.mkdtemp(prefix="learn3d_"),  # not the repo's logs/
+        **cfg_kw,
     )
     trainer = Trainer(model, ds, spec, cfg, collate=fam.collate)
     trainer.fit()
