@@ -3,5 +3,17 @@ from molkgnn_tpu.parallel.data_parallel import (
     shard_train_step,
     stack_shards,
 )
+from molkgnn_tpu.parallel.hybrid import (
+    hybrid_train_step,
+    make_mesh_2d,
+    partition_hybrid,
+)
 
-__all__ = ["make_mesh", "shard_train_step", "stack_shards"]
+__all__ = [
+    "make_mesh",
+    "shard_train_step",
+    "stack_shards",
+    "make_mesh_2d",
+    "partition_hybrid",
+    "hybrid_train_step",
+]

@@ -409,13 +409,23 @@ def _encoder_forward(
     ndev: int,
     train: bool = False,
     dropout_rng=None,
+    bn_axis=None,
+    edge_bn_axis=None,
 ):
     """Per-device sharded MolKGNNNet forward -> (pooled [B, emb], new_stats).
 
     Drives ``model``'s own parameter tree (node BN, gnn/layer{i},
     graph_embedding_lin1/2) through the sharded layer loop; equivalence to
     ``model.apply(variables, batch)`` is asserted in tests/test_parallel.py.
+
+    ``bn_axis`` (default: ``axis``) names the mesh axes whose psum makes the
+    train-mode node-BN statistics GLOBAL; under a 2D data x model mesh
+    (parallel/hybrid.py) it is the axis tuple, and ``edge_bn_axis`` sums the
+    per-group edge statistics across data groups (edge_attr is replicated
+    within a model group, so within-group the local sums are already global).
     """
+    if bn_axis is None:
+        bn_axis = axis
     ns = hb.node_mask.shape[0]
     hp = hb.send_ids.shape[-1]
 
@@ -432,7 +442,7 @@ def _encoder_forward(
         # single-device normalization exactly — layer 0 still needs no
         # exchange.
         mean, var, count = _global_bn_train(
-            hb.x_ext[:ns], hb.node_mask, axis
+            hb.x_ext[:ns], hb.node_mask, bn_axis
         )
         new_stats["node_batch_norm"] = _bn_updates(
             stats["node_batch_norm"], mean, var, count
@@ -441,7 +451,7 @@ def _encoder_forward(
         # Dead edge-BN (stats-only; output unused — MolKGNNNet.py:115-116):
         # edge_attr is replicated, so local stats are already global.
         e_mean, e_var, e_count = _global_bn_train(
-            hb.edge_attr, hb.edge_attr_mask, None
+            hb.edge_attr, hb.edge_attr_mask, edge_bn_axis
         )
         new_stats["edge_batch_norm"] = _bn_updates(
             stats["edge_batch_norm"], e_mean, e_var, e_count

@@ -1,0 +1,186 @@
+"""Hybrid 2D sharding: data-parallel groups x halo model parallelism.
+
+The two scaling designs this framework ships — batch-sharded data
+parallelism (parallel/data_parallel.py) and the node-sharded halo-exchange
+partition (parallel/halo.py) — compose on one 2D device mesh
+``Mesh(devices.reshape(Nd, Nm), ("data", "model"))``:
+
+  * the global batch splits into ``Nd`` graph groups along the ``data``
+    axis (molecules are independent, so groups never communicate except in
+    the gradient/BN reductions), and
+  * each group's packed graph is node-sharded over the ``Nm`` devices of
+    its ``model`` row, with the per-layer boundary exchanges riding
+    ``all_to_all`` over the ``model`` axis only.
+
+Collective accounting per train step (the scaling-book recipe: shardings
+annotated, XLA inserts the collectives, all of them mapped to mesh axes):
+
+  * 2 x ``all_to_all`` per layer over ``model`` (halo features/scores) —
+    the high-frequency traffic stays inside a model row (ICI-adjacent
+    devices on a real slice),
+  * ``psum`` over ``("data", "model")`` for the global train-mode BN
+    statistics (tiny: one [F] vector triple),
+  * ``psum(pooled)`` over ``model`` (graph embeddings within a group),
+  * one grad reduction: ``psum(pmean(grads, model), data)``.
+
+Gradient accounting extends halo.py's psum-transpose rule by one level:
+within a model row the in-forward ``psum(pooled)`` hands every device a
+cotangent scaled by ``Nm``, so ``pmean`` over ``model`` recovers that
+group's exact gradient; the global objective is the masked MEAN over ALL
+graphs (reference data.py:37 semantics), which each group enters as
+``group_masked_sum / global_count`` — a plain SUM of per-group terms — so
+the cross-group reduction is ``psum`` over ``data``, not ``pmean``.
+Grad parity vs the single-device step on the undivided batch is asserted
+in tests/test_parallel.py::test_hybrid_train_step_matches_single_device.
+
+The contract being sharded is the reference's whole training path
+(/root/reference/model.py:176-219 driving
+/root/reference/models/MolKGNN/KernelLayer.py:109-123); the reference
+itself is single-GPU (SURVEY §2.3) — this composition is new design.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+
+from molkgnn_tpu.graphs.batch import GraphBatch
+from molkgnn_tpu.models.common import TorchLinear
+from molkgnn_tpu.parallel.halo import (
+    HaloBatch,
+    _dropout,
+    _encoder_forward,
+    partition_halo,
+)
+from molkgnn_tpu.training.model import bce_with_logits_loss
+
+
+def make_mesh_2d(
+    n_data: int, n_model: int, axes: tuple = ("data", "model")
+) -> Mesh:
+    devs = np.asarray(jax.devices()[: n_data * n_model])
+    return Mesh(devs.reshape(n_data, n_model), axes)
+
+
+def partition_hybrid(
+    groups: list[GraphBatch], n_model: int, caps: dict | None = None
+) -> HaloBatch:
+    """Partition each data group over ``n_model`` node shards and stack.
+
+    Returns a HaloBatch whose arrays carry leading [n_data, n_model] mesh
+    axes. All groups share one set of static capacities (the max over
+    groups, or pinned ``caps`` from a sizing pass) so the whole run is one
+    compiled program.
+    """
+    if caps is None:
+        caps = None
+        for g in groups:
+            c = partition_halo(g, n_model).caps()
+            if caps is None:
+                caps = c
+            else:
+                caps = {
+                    k: (
+                        tuple(max(a, b) for a, b in zip(caps[k], c[k]))
+                        if k == "buckets"
+                        else max(caps[k], c[k])
+                    )
+                    for k in caps
+                }
+    parts = [partition_halo(g, n_model, caps=caps) for g in groups]
+    return jax.tree.map(lambda *xs: np.stack(xs), *parts)
+
+
+def hybrid_train_step(
+    model,  # GNNModel wrapper (encoder=MolKGNNNet)
+    tx,
+    mesh: Mesh,
+    data_axis: str = "data",
+    model_axis: str = "model",
+    loss_fn=bce_with_logits_loss,
+):
+    """Jitted FULL training step over the 2D data x model mesh.
+
+    ``(TrainState, stacked HaloBatch [Nd, Nm, ...]) -> (TrainState, loss)``
+    with exact single-device semantics on the undivided global batch:
+    global (both-axes psum'd) train-mode BN statistics, the masked-mean
+    loss over all real graphs, gradients through every exchange, and one
+    replicated optimizer update. ``loss_fn`` must have masked-MEAN
+    reduction (bce_with_logits_loss); its group value is re-weighted by
+    group_count/global_count before the cross-group psum.
+    """
+    ndev_m = int(mesh.shape[model_axis])
+    encoder = model.encoder
+
+    def per_device(state, hb):
+        hb = jax.tree.map(lambda a: a[0, 0], hb)
+        rng = jax.random.fold_in(state.rng, state.step)
+        rng_enc, rng_ffn = jax.random.split(rng)
+        # Decorrelate dropout across data groups (halo._encoder_forward
+        # already folds in the model-axis index).
+        rng_enc = jax.random.fold_in(
+            rng_enc, jax.lax.axis_index(data_axis)
+        )
+        rng_ffn = jax.random.fold_in(
+            rng_ffn, jax.lax.axis_index(data_axis)
+        )
+
+        def losses(params):
+            pooled, enc_stats = _encoder_forward(
+                encoder,
+                params["encoder"],
+                state.batch_stats["encoder"],
+                hb,
+                model_axis,
+                ndev_m,
+                train=True,
+                dropout_rng=rng_enc,
+                bn_axis=(data_axis, model_axis),
+                edge_bn_axis=data_axis,
+            )
+            h = _dropout(rng_ffn, pooled, model.ffn_dropout_rate)
+            logits = TorchLinear(model.task_dim).apply(
+                {"params": params["ffn"]}, h
+            )[..., 0]
+            # Global masked mean: this group's masked SUM over the global
+            # real-graph count (count psum has no parameter dependence, so
+            # no gradient flows through it).
+            cnt = jnp.sum(hb.graph_mask.astype(logits.dtype))
+            total = jnp.maximum(jax.lax.psum(cnt, data_axis), 1.0)
+            contrib = loss_fn(logits, hb.y, hb.graph_mask) * cnt / total
+            return contrib, {"encoder": enc_stats}
+
+        (contrib, new_stats), grads = jax.value_and_grad(
+            losses, has_aux=True
+        )(state.params)
+        # pmean over model recovers each group's exact gradient (halo.py's
+        # psum-transpose rule); groups then SUM into the global-mean
+        # objective's gradient.
+        grads = jax.lax.psum(
+            jax.lax.pmean(grads, model_axis), data_axis
+        )
+        loss = jax.lax.psum(contrib, data_axis)
+        # BN stats were psum'd over both axes in-forward: already global
+        # and identical on every device.
+        up, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, up)
+        new_state = state.replace(
+            step=state.step + 1,
+            params=params,
+            batch_stats=new_stats,
+            opt_state=opt_state,
+        )
+        return new_state, loss
+
+    fn = shard_map(
+        per_device,
+        mesh=mesh,
+        in_specs=(P(), P(data_axis, model_axis)),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(fn, donate_argnums=(0,))

@@ -596,3 +596,88 @@ def test_halo_traffic_scales_with_cut_not_graph():
         big["halo_rows_per_exchange"]
         < 0.25 * big["replicated_alternative_rows"]
     ), big
+
+
+def test_hybrid_train_step_matches_single_device():
+    """Hybrid 2D mesh (2 data groups x 2 halo model shards, 4 devices):
+    one full train step on two 8-graph groups == the single-device Trainer
+    step on the undivided 16-graph batch — global psum'd BN statistics,
+    the masked-mean loss over all 16 graphs, grads reduced by
+    psum(pmean(., model), data), AdamW update. Chain molecules (no
+    permutation-score ties); run TWO consecutive steps on fresh global
+    batches sharing pinned capacities (one compiled program)."""
+    from molkgnn_tpu.graphs.batch import batch_graphs
+    from molkgnn_tpu.data.dataset import Dataset
+    from molkgnn_tpu.parallel.halo import partition_halo
+    from molkgnn_tpu.parallel.hybrid import (
+        hybrid_train_step,
+        make_mesh_2d,
+        partition_hybrid,
+    )
+
+    graphs = _chain_graphs(seed=53, n_graphs=32)
+    spec = spec_for_graphs(graphs, batch_size=16)
+    spec8 = spec_for_graphs(graphs, batch_size=8)
+    ds = Dataset(
+        name="chains",
+        graphs=graphs,
+        split={
+            "train": np.arange(24),
+            "valid": np.arange(24, 28),
+            "test": np.arange(28, 32),
+        },
+        metrics=["AUC"],
+        loss_name="bce_with_logits",
+    )
+    model = GNNModel(
+        encoder=MolKGNNNet(
+            num_layers=2,
+            kernels_1hop=(2, 3, 4, 5),
+            kernels_nhop=(2, 3, 4, 5),
+            graph_embedding_dim=8,
+        ),
+        ffn_dropout_rate=0.0,
+    )
+    cfg = TrainConfig(
+        batch_size=16, max_epochs=1, warmup_iterations=5,
+        oversample=False, progress=False, use_device_data=False,
+    )
+    trainer = Trainer(model, ds, spec, cfg)
+
+    group_lists = [
+        [graphs[:8], graphs[8:16]],
+        [graphs[16:24], graphs[24:32]],
+    ]
+    # One pinned capacity set across both steps: a single compiled program.
+    caps = None
+    for gl in group_lists:
+        for g in gl:
+            c = partition_halo(batch_graphs(g, spec8), 2).caps()
+            caps = c if caps is None else {
+                k: (
+                    tuple(max(a, b) for a, b in zip(caps[k], c[k]))
+                    if k == "buckets"
+                    else max(caps[k], c[k])
+                )
+                for k in caps
+            }
+
+    mesh = make_mesh_2d(2, 2)
+    step = hybrid_train_step(model, trainer.tx, mesh)
+    state_sd = jax.tree.map(jnp.array, trainer.state)
+    state_hy = jax.tree.map(jnp.array, trainer.state)
+    shapes = None
+    for gl in group_lists:
+        sd_batch = batch_graphs(gl[0] + gl[1], spec)
+        hb = partition_hybrid(
+            [batch_graphs(g, spec8) for g in gl], 2, caps=caps
+        )
+        s = jax.tree.map(lambda a: np.asarray(a).shape, hb)
+        assert shapes is None or s == shapes  # pinned: no recompilation
+        shapes = s
+        state_sd, sd_loss = trainer._train_step(state_sd, sd_batch)
+        state_hy, hy_loss = step(state_hy, hb)
+        np.testing.assert_allclose(
+            float(hy_loss), float(sd_loss), rtol=1e-6
+        )
+    _assert_states_close(state_hy, state_sd)
