@@ -35,23 +35,40 @@ def initialize(
 ) -> None:
     """Initialize jax.distributed (idempotent; env-driven when args omitted:
     COORDINATOR_ADDRESS / NUM_PROCESSES / PROCESS_ID, or the TPU pod
-    auto-detection when nothing is set)."""
-    if jax.process_count() > 1:
+    auto-detection when nothing is set).
+
+    MUST run before anything touches a backend: even ``jax.process_count()``
+    initializes XLA, after which distributed setup is rejected (the r2
+    version of this guard had exactly that bug — it could never initialize).
+    The already-initialized check therefore reads the distributed global
+    state directly. Exercised for real (2 processes, gloo collectives) by
+    tests/test_multihost_mp.py.
+    """
+    from jax._src import distributed as _dist
+
+    if getattr(_dist.global_state, "client", None) is not None:
         return  # already initialized
-    kwargs = {}
     addr = coordinator_address or os.environ.get("COORDINATOR_ADDRESS")
     if addr:
-        kwargs["coordinator_address"] = addr
-        kwargs["num_processes"] = int(
-            num_processes or os.environ.get("NUM_PROCESSES", "1")
+        # Explicit multi-process setup: let failures propagate.
+        jax.distributed.initialize(
+            coordinator_address=addr,
+            num_processes=int(
+                num_processes
+                if num_processes is not None
+                else os.environ.get("NUM_PROCESSES", "1")
+            ),
+            process_id=int(
+                process_id
+                if process_id is not None
+                else os.environ.get("PROCESS_ID", "0")
+            ),
         )
-        kwargs["process_id"] = int(
-            process_id or os.environ.get("PROCESS_ID", "0")
-        )
+        return
     try:
-        jax.distributed.initialize(**kwargs)
+        jax.distributed.initialize()  # pod auto-detection
     except (RuntimeError, ValueError):
-        pass  # single-process / already initialized
+        pass  # single-process
 
 
 def global_data_mesh(axis: str = "data") -> Mesh:
