@@ -312,6 +312,12 @@ def main(argv=None):
             path = os.path.join(cfg.checkpoint_dir, tag)
             if os.path.exists(path) or os.path.exists(path + ".msgpack"):
                 trainer._ckpts[tag] = load_checkpoint(path)
+        if not trainer._ckpts:
+            raise SystemExit(
+                f"--test: no checkpoints found under {cfg.checkpoint_dir!r};"
+                " run a fit first (same --default_root_dir) or drop --test"
+                " to train+test in one run"
+            )
         results = trainer.test()
         print(json.dumps(results, default=float))
     else:

@@ -790,8 +790,10 @@ class Trainer:
         (entry.py:156-182)."""
         cfg = self.config
         out: Dict[str, Dict[str, float]] = {}
-        tags = ["last"] + [
-            f"best_{m}" for m in cfg.monitors if f"best_{m}" in self._ckpts
+        tags = [
+            t
+            for t in ["last"] + [f"best_{m}" for m in cfg.monitors]
+            if t in self._ckpts
         ]
         saved_state = self.state
         for tag in tags:

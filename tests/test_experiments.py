@@ -283,3 +283,16 @@ def test_preprocess_driver(tmp_path):
     # Second run hits the cache (still ok, fast).
     records = preprocess_all(str(tmp_path), datasets=["9999"], processes=1)
     assert records[0]["status"] == "ok"
+
+
+def test_cli_test_only_without_checkpoints_gives_clear_error(tmp_path):
+    """--test (test-only mode) on a fresh root dir must fail with an
+    actionable message, not a raw KeyError (r3 UX fix)."""
+    r = subprocess.run(
+        [sys.executable, "-m", "molkgnn_tpu.cli.entry",
+         "--dataset_name", "synthetic", *TINY_KGNN, "--test",
+         "--default_root_dir", str(tmp_path), "--task_name", "t"],
+        capture_output=True, text=True, timeout=500, env=_cli_env(),
+    )
+    assert r.returncode != 0
+    assert "no checkpoints found" in r.stderr
