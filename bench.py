@@ -228,7 +228,15 @@ class _Runner:
 
     def measure(self, steps=BENCH_STEPS, repeats=BENCH_REPEATS):
         """Run timed windows; keep the best across ALL calls (time-spread),
-        and record every window so the artifact carries the drift spread."""
+        and record every window so the artifact carries the drift spread.
+
+        Window end is an ACTUAL scalar value readback of the final loss,
+        not block_until_ready: a remote/relay backend could in principle
+        resolve readiness before the device queue drains (r3 observed a
+        fixed-block microbench "exceeding" the MXU roofline 2.4x that way),
+        and a value fetch cannot lie — the number must exist. One readback
+        per window (~link RTT) amortizes over >=40 fused steps.
+        """
         for _ in range(repeats):
             done = 0
             total_edges = 0
@@ -243,7 +251,7 @@ class _Runner:
                 )
                 done += SCAN_STEPS
                 _tick()
-            self._jax.block_until_ready(loss_k)
+            assert np.isfinite(float(np.asarray(loss_k[-1])))  # true sync
             dt = time.perf_counter() - t0
             row = {
                 "edges_per_s": round(total_edges / dt, 1),

@@ -39,6 +39,10 @@ def build_parser(gnn_type: str) -> argparse.ArgumentParser:
     m.add_argument("--test", action="store_true", default=False)
     m.add_argument("--record_valid_pred", action="store_true", default=False)
     m.add_argument("--train_metric", action="store_true", default=False)
+    # Preemption-safe training: autosave full state after every epoch under
+    # default_root_dir and resume from it on restart (SIGTERM/SIGINT finish
+    # the epoch, autosave, and exit cleanly).
+    m.add_argument("--autosave", action="store_true", default=False)
     m.add_argument("--warmup_iterations", type=int, default=60000)
     m.add_argument("--peak_lr", type=float, default=5e-2)
     m.add_argument("--end_lr", type=float, default=1e-9)
@@ -296,6 +300,11 @@ def main(argv=None):
         log_dir=log_dir,
         checkpoint_dir=os.path.join(args.default_root_dir, "checkpoints"),
         balanced_batches=balanced,
+        autosave_path=(
+            os.path.join(args.default_root_dir, "autosave")
+            if args.autosave
+            else None
+        ),
     )
     collate = None if args.gnn_type == "kgnn" else fam.collate
     trainer = Trainer(model, dataset, spec, cfg, collate=collate)

@@ -102,6 +102,14 @@ class TrainConfig:
     # math is identical to step-by-step execution (same RNG fold-in per
     # step, same updates); only the dispatch granularity changes.
     scan_steps: int = 1
+    # Preemption-safe training (framework extension; the reference has no
+    # fault tolerance beyond crash-level retries, SURVEY §5): when set,
+    # fit() writes a full-state autosave (save_state + history) after every
+    # epoch, RESUMES from it if one exists at the given path, and installs
+    # a SIGTERM/SIGINT handler for the duration of fit() that finishes the
+    # current epoch, autosaves, and returns early instead of dying mid-run
+    # — the contract preemptible/spot TPU jobs need.
+    autosave_path: Optional[str] = None
 
     def resolve_tot_iterations(self, num_train: int) -> int:
         if self.tot_iterations is not None:
@@ -510,6 +518,42 @@ class Trainer:
 
     # ------------------------------------------------------------------
     def fit(self) -> List[Dict[str, float]]:
+        """Train for max_epochs. With ``config.autosave_path`` set, fit is
+        PREEMPTION-SAFE: it resumes from an existing autosave (full state +
+        history; epochs already done are not re-run), autosaves after every
+        epoch, and converts SIGTERM/SIGINT into finish-epoch + autosave +
+        early return (tests/test_training.py::test_fit_preemption_*)."""
+        import signal as _signal
+
+        cfg = self.config
+        start_epoch = 0
+        if cfg.autosave_path and os.path.exists(
+            cfg.autosave_path + ".state.msgpack"
+        ):
+            self.load_state(cfg.autosave_path)
+            hpath = cfg.autosave_path + ".history.json"
+            if os.path.exists(hpath):
+                with open(hpath) as f:
+                    self.history = json.load(f)
+            start_epoch = len(self.history)
+        stop = {"flag": False}
+        old_handlers = {}
+        if cfg.autosave_path:
+            def _request_stop(signum, frame):
+                stop["flag"] = True
+
+            for sig in (_signal.SIGTERM, _signal.SIGINT):
+                try:
+                    old_handlers[sig] = _signal.signal(sig, _request_stop)
+                except ValueError:
+                    pass  # not the main thread; signals handled elsewhere
+        try:
+            return self._fit_loop(start_epoch, stop)
+        finally:
+            for sig, h in old_handlers.items():
+                _signal.signal(sig, h)
+
+    def _fit_loop(self, start_epoch, stop) -> List[Dict[str, float]]:
         cfg = self.config
         train_graphs = self.dataset.subset("train")
         loader = GraphLoader(
@@ -530,7 +574,7 @@ class Trainer:
                 f" ceil(n_train/batch_size) = {steps_per_epoch} <"
                 f" {ndev} devices. Shrink the mesh or the batch size."
             )
-        for epoch in range(cfg.max_epochs):
+        for epoch in range(start_epoch, cfg.max_epochs):
             t0 = time.time()
             losses = []
             if self.mesh is None and self._device_data is not None:
@@ -644,6 +688,18 @@ class Trainer:
                     if isinstance(v, float)
                 }
                 print(f"epoch {epoch}: {shown}", flush=True)
+            if cfg.autosave_path:
+                self.save_state(cfg.autosave_path)
+                with open(cfg.autosave_path + ".history.json", "w") as f:
+                    json.dump(self.history, f)
+            if stop["flag"]:
+                if cfg.progress:
+                    print(
+                        f"fit: stop signal received; autosaved after "
+                        f"epoch {epoch}, returning early",
+                        flush=True,
+                    )
+                break
         self._save_checkpoint("last")
         with open(os.path.join(cfg.log_dir, "history.json"), "w") as f:
             json.dump(self.history, f, indent=1)

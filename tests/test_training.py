@@ -269,3 +269,66 @@ def test_skip_nonfinite_updates():
         for a, b in zip(prev, jax.tree.leaves(state2.params))
     )
     assert changed
+
+
+def _preempt_trainer(tmp_path, max_epochs, monitor=None, sub="logs"):
+    ds = make_synthetic_dataset(seed=8, num_graphs=32, active_fraction=0.3)
+    spec = spec_for_graphs(ds.graphs, batch_size=8)
+    model = GNNModel(
+        encoder=MolKGNNNet(
+            num_layers=1, kernels_1hop=(2, 2, 2, 2),
+            kernels_nhop=(2, 2, 2, 2), graph_embedding_dim=8,
+        ),
+        ffn_dropout_rate=0.0,
+    )
+    cfg = TrainConfig(
+        batch_size=8, max_epochs=max_epochs, warmup_iterations=3,
+        oversample=False, progress=False,
+        log_dir=str(tmp_path / sub),
+        autosave_path=str(tmp_path / "auto"),
+    )
+    return Trainer(model, ds, spec, cfg, monitor=monitor)
+
+
+def test_fit_autosave_resume(tmp_path):
+    """With autosave_path set, a second fit() resumes AFTER the epochs
+    already done (full state + history restored) instead of restarting."""
+    t1 = _preempt_trainer(tmp_path, max_epochs=2)
+    h1 = t1.fit()
+    assert len(h1) == 2
+    step_after_2 = int(np.asarray(t1.state.step))
+
+    t2 = _preempt_trainer(tmp_path, max_epochs=4, sub="logs2")
+    h2 = t2.fit()
+    assert len(h2) == 4
+    assert [e["epoch"] for e in h2] == [0, 1, 2, 3]
+    # The first two epochs came from the restored history, not a re-run.
+    assert h2[0]["train_loss"] == h1[0]["train_loss"]
+    assert h2[1].keys() == h1[1].keys()
+    for k in h1[1]:
+        np.testing.assert_equal(h2[1][k], h1[1][k])  # nan-aware
+    assert int(np.asarray(t2.state.step)) == 2 * step_after_2
+
+
+def test_fit_sigterm_finishes_epoch_autosaves_and_resumes(tmp_path):
+    """SIGTERM during fit: the current epoch completes, the autosave is
+    written, fit returns early — and a restarted fit finishes the
+    remaining epochs from the autosave."""
+    import os as _os
+    import signal as _signal
+
+    class _PreemptAfterFirstEpoch:
+        def on_epoch_end(self, epoch, results):
+            if epoch == 0:
+                _os.kill(_os.getpid(), _signal.SIGTERM)
+
+    t1 = _preempt_trainer(
+        tmp_path, max_epochs=5, monitor=_PreemptAfterFirstEpoch()
+    )
+    h1 = t1.fit()
+    assert len(h1) == 1  # finished epoch 0, then stopped early
+    assert (tmp_path / "auto.state.msgpack").exists()
+
+    t2 = _preempt_trainer(tmp_path, max_epochs=5, sub="logs2")
+    h2 = t2.fit()
+    assert [e["epoch"] for e in h2] == [0, 1, 2, 3, 4]
