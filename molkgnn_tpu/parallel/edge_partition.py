@@ -14,6 +14,15 @@ right trade once per-chip FLOPs, not bytes, bound the step (the data-
 parallel path in data_parallel.py remains the default regime for QSAR-size
 molecules). Node-sharded halo exchange is the next rung on this ladder.
 
+Scope (r3): this module is deliberately EVAL-ONLY — it is the simplest
+model-parallel forward (replicate nodes, psum everything) and serves as
+the readable baseline the halo design is measured against. TRAINING
+through a model-parallel partition lives in parallel/halo.py
+(halo_train_step) and parallel/hybrid.py (2D data x model), both
+grad-parity-tested; a train step here would duplicate that capability
+with strictly worse communication scaling ([N, sum(L)] psums vs
+cut-sized exchanges).
+
 Numerical note: results match the single-device forward except where
 permutation scores tie EXACTLY (bitwise-equal neighbor features, e.g.
 sibling hydrogens at layers >= 1): fp tie-breaking then depends on matmul
