@@ -221,21 +221,29 @@ class _Runner:
             self.state, self.dev_data, next(self.blocks)
         )
         jax.block_until_ready(loss_k)  # compile
+        # Pay the first-readback penalty HERE, outside timed windows (r3
+        # measured it at up to 133 s on a degraded link; subsequent value
+        # fetches are ~RTT).
+        assert np.isfinite(float(np.asarray(loss_k[-1])))
         _log(f"b{batch_size} compile {time.time()-t0:.0f}s")
         _tick()
         self.best = None
         self.windows = []  # every window's edges/s, in time order
+        self._max_residual_ms = 0.0
 
     def measure(self, steps=BENCH_STEPS, repeats=BENCH_REPEATS):
         """Run timed windows; keep the best across ALL calls (time-spread),
         and record every window so the artifact carries the drift spread.
 
-        Window end is an ACTUAL scalar value readback of the final loss,
-        not block_until_ready: a remote/relay backend could in principle
-        resolve readiness before the device queue drains (r3 observed a
-        fixed-block microbench "exceeding" the MXU roofline 2.4x that way),
-        and a value fetch cannot lie — the number must exist. One readback
-        per window (~link RTT) amortizes over >=40 fused steps.
+        Timing-honesty guard (r3): after the block_until_ready that ends a
+        window, ALSO fetch the final loss VALUE and record the residual
+        wall time. A remote/relay backend could in principle resolve
+        readiness before the device queue drains (a fixed-block microbench
+        once "exceeded" the MXU roofline 2.4x that way); a value fetch
+        cannot lie — the number must exist. The residual stays OUT of the
+        timed window (it includes one link RTT, which would bias fast
+        windows down) but ships in the row: a residual comparable to the
+        window duration marks the rate as untrustworthy.
         """
         for _ in range(repeats):
             done = 0
@@ -251,17 +259,25 @@ class _Runner:
                 )
                 done += SCAN_STEPS
                 _tick()
-            assert np.isfinite(float(np.asarray(loss_k[-1])))  # true sync
+            self._jax.block_until_ready(loss_k)
             dt = time.perf_counter() - t0
+            t_res = time.perf_counter()
+            assert np.isfinite(float(np.asarray(loss_k[-1])))
+            residual_ms = 1e3 * (time.perf_counter() - t_res)
             row = {
                 "edges_per_s": round(total_edges / dt, 1),
                 "step_ms": round(1e3 * dt / done, 3),
                 "graphs_per_s": round(done * self.batch_size / dt, 1),
+                "sync_residual_ms": round(residual_ms, 2),
             }
             self.windows.append(row["edges_per_s"])
+            self._max_residual_ms = max(
+                self._max_residual_ms, row["sync_residual_ms"]
+            )
             if self.best is None or row["edges_per_s"] > self.best["edges_per_s"]:
                 self.best = row
         self.best["windows"] = list(self.windows)
+        self.best["max_sync_residual_ms"] = round(self._max_residual_ms, 2)
         self.best["spread"] = round(
             (max(self.windows) - min(self.windows)) / max(self.windows), 3
         )
@@ -287,6 +303,8 @@ def _final_json(rows, extra):
         "scan_steps": SCAN_STEPS,
         "wall_s": round(time.time() - _T0, 1),
     }
+    if "link_rtt_ms" in _PARTIAL:
+        out["link_rtt_ms"] = _PARTIAL["link_rtt_ms"]
     try:
         import jax
 
@@ -330,6 +348,7 @@ def _final_json(rows, extra):
     for name, row in rows.items():
         out[f"{name}_windows"] = row.get("windows", [])
         out[f"{name}_spread"] = row.get("spread")
+        out[f"{name}_max_sync_residual_ms"] = row.get("max_sync_residual_ms")
     return {**out, **extra}
 
 
@@ -341,6 +360,20 @@ def main():
 
     _tick()
     rows = _PARTIAL["rows"]
+
+    # Link health: round-trip a trivial dispatch so a degraded-tunnel run
+    # carries its own explanation (r3 observed a stable ~300x-slow relay
+    # state after a wedged-grant recovery, on top of the usual ~2x drift).
+    import jax.numpy as jnp
+
+    x = jnp.ones((8, 8))
+    float(jnp.sum(x + x))  # compile + first-readback, untimed
+    t0 = time.perf_counter()
+    for _ in range(3):
+        float(jnp.sum(x + x))
+    _PARTIAL["link_rtt_ms"] = round(1e3 * (time.perf_counter() - t0) / 3, 2)
+    _log(f"link RTT (tiny dispatch+readback) {_PARTIAL['link_rtt_ms']} ms")
+    _tick()
 
     # Same dataset construction as earlier rounds (spec capacities derive
     # from the graph pool, so pool size is part of the config).
