@@ -10,6 +10,7 @@ from molkgnn_tpu.parallel.halo import (
     partition_halo,
 )
 from molkgnn_tpu.parallel.hybrid import (
+    hybrid_parallel_forward,
     hybrid_train_step,
     make_mesh_2d,
     partition_hybrid,
@@ -25,5 +26,6 @@ __all__ = [
     "halo_train_step",
     "make_mesh_2d",
     "partition_hybrid",
+    "hybrid_parallel_forward",
     "hybrid_train_step",
 ]

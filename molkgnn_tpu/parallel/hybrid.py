@@ -95,6 +95,41 @@ def partition_hybrid(
     return jax.tree.map(lambda *xs: np.stack(xs), *parts)
 
 
+def hybrid_parallel_forward(
+    model,  # MolKGNNNet encoder
+    mesh: Mesh,
+    data_axis: str = "data",
+    model_axis: str = "model",
+):
+    """Jitted eval-mode encoder forward over the 2D mesh:
+    ``(variables, stacked HaloBatch [Nd, Nm, ...]) -> [Nd, B, emb]`` —
+    each data group's pooled embeddings, computed with the same
+    model-axis exchanges as training (running BN stats, no dropout)."""
+    ndev_m = int(mesh.shape[model_axis])
+
+    def per_device(variables, hb):
+        hb = jax.tree.map(lambda a: a[0, 0], hb)
+        pooled, _ = _encoder_forward(
+            model,
+            variables["params"],
+            variables["batch_stats"],
+            hb,
+            model_axis,
+            ndev_m,
+            train=False,
+        )
+        return pooled[None]  # [1, B, emb] -> gathered over data axis
+
+    fn = shard_map(
+        per_device,
+        mesh=mesh,
+        in_specs=(P(), P(data_axis, model_axis)),
+        out_specs=P(data_axis),
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
 def hybrid_train_step(
     model,  # GNNModel wrapper (encoder=MolKGNNNet)
     tx,

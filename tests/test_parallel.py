@@ -681,3 +681,34 @@ def test_hybrid_train_step_matches_single_device():
             float(hy_loss), float(sd_loss), rtol=1e-6
         )
     _assert_states_close(state_hy, state_sd)
+
+
+def test_hybrid_parallel_forward_matches_single_device():
+    """Eval-mode hybrid 2D forward: each data group's pooled embeddings
+    equal the single-device encoder forward on that group's batch."""
+    from molkgnn_tpu.graphs.batch import batch_graphs
+    from molkgnn_tpu.parallel.hybrid import (
+        hybrid_parallel_forward,
+        make_mesh_2d,
+        partition_hybrid,
+    )
+
+    graphs = _chain_graphs(seed=61, n_graphs=16)
+    spec8 = spec_for_graphs(graphs, batch_size=8)
+    model = MolKGNNNet(
+        num_layers=2,
+        kernels_1hop=(2, 3, 4, 5),
+        kernels_nhop=(2, 3, 4, 5),
+        graph_embedding_dim=8,
+    )
+    b0 = batch_graphs(graphs[:8], spec8)
+    b1 = batch_graphs(graphs[8:], spec8)
+    variables = model.init(jax.random.key(0), b0)
+
+    hyb = partition_hybrid([b0, b1], 2)
+    mesh = make_mesh_2d(2, 2)
+    got = np.asarray(hybrid_parallel_forward(model, mesh)(variables, hyb))
+    assert got.shape[0] == 2
+    for i, b in enumerate([b0, b1]):
+        want = np.asarray(model.apply(variables, b))
+        np.testing.assert_allclose(got[i], want, rtol=2e-5, atol=2e-5)
