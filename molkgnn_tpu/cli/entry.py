@@ -28,6 +28,11 @@ def build_parser(gnn_type: str) -> argparse.ArgumentParser:
     t.add_argument("--max_epochs", type=int, default=20)
     t.add_argument("--default_root_dir", type=str, default=".")
     t.add_argument("--num_devices", type=int, default=1)
+    # none: single device (or DP when num_devices > 1); halo: node-sharded
+    # halo-exchange model parallelism over num_devices (kgnn only).
+    t.add_argument(
+        "--model_parallel", choices=["none", "halo"], default="none"
+    )
     t.add_argument("--task_name", type=str, default="Unnamed")
     t.add_argument("--task_comment", type=str, default="")
     t.add_argument("--machine", type=str, default="tpu")
@@ -307,7 +312,14 @@ def main(argv=None):
         ),
     )
     collate = None if args.gnn_type == "kgnn" else fam.collate
-    trainer = Trainer(model, dataset, spec, cfg, collate=collate)
+    mesh = None
+    if args.model_parallel == "halo" or args.num_devices > 1:
+        from molkgnn_tpu.parallel import make_mesh
+
+        mesh = make_mesh(args.num_devices)
+        if args.model_parallel == "halo":
+            cfg.model_parallel = "halo"
+    trainer = Trainer(model, dataset, spec, cfg, mesh=mesh, collate=collate)
 
     if args.validate:
         results = trainer.evaluate("valid")

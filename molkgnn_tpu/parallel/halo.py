@@ -558,6 +558,40 @@ def halo_parallel_forward(model: MolKGNNNet, mesh: Mesh, axis: str = "data"):
     return jax.jit(fn)
 
 
+def halo_eval_step(model, mesh: Mesh, axis: str = "data"):
+    """Jitted eval-mode FULL-model forward through the halo partition:
+    ``(params, batch_stats, HaloBatch) -> logits [B]`` (replicated) —
+    encoder with running BN stats + the prediction head, dropout off;
+    the eval twin of ``halo_train_step`` used by the Trainer's
+    model-parallel evaluate/test path."""
+    ndev = int(mesh.shape[axis])
+    encoder: MolKGNNNet = model.encoder
+
+    def per_device(params, stats, hb):
+        hb = jax.tree.map(lambda a: a[0], hb)
+        pooled, _ = _encoder_forward(
+            encoder,
+            params["encoder"],
+            stats["encoder"],
+            hb,
+            axis,
+            ndev,
+            train=False,
+        )
+        return TorchLinear(model.task_dim).apply(
+            {"params": params["ffn"]}, pooled
+        )[..., 0]
+
+    fn = shard_map(
+        per_device,
+        mesh=mesh,
+        in_specs=(P(), P(), P(axis)),
+        out_specs=P(),
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
 def halo_train_step(
     model,  # GNNModel wrapper (encoder=MolKGNNNet)
     tx,

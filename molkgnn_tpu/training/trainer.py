@@ -110,6 +110,14 @@ class TrainConfig:
     # current epoch, autosaves, and returns early instead of dying mid-run
     # — the contract preemptible/spot TPU jobs need.
     autosave_path: Optional[str] = None
+    # Model parallelism for the kgnn family: "halo" runs training AND
+    # evaluation through the node-sharded halo-exchange partition
+    # (parallel/halo.py) over the Trainer's mesh — each batch is
+    # host-partitioned with run-pinned capacities (one compiled program)
+    # and the full step (psum'd BN stats, grads through the exchanges,
+    # pmean reduction, AdamW) executes under shard_map. None = data
+    # parallelism over the mesh (the default regime).
+    model_parallel: Optional[str] = None
 
     def resolve_tot_iterations(self, num_train: int) -> int:
         if self.tot_iterations is not None:
@@ -207,8 +215,37 @@ class Trainer:
         self._train_step = self._build_train_step()
         self._eval_step = self._build_eval_step()
 
+        self._halo_step = None
+        self._halo_caps = None
+        if config.model_parallel is not None:
+            if config.model_parallel != "halo":
+                raise ValueError(
+                    f"unknown model_parallel={config.model_parallel!r}"
+                    " (supported: 'halo')"
+                )
+            if mesh is None:
+                raise ValueError("model_parallel='halo' requires a mesh")
+            if collate is not None:
+                raise ValueError(
+                    "model_parallel='halo' supports the kgnn batch family"
+                    " only (default collate)"
+                )
+            from molkgnn_tpu.parallel.halo import (
+                halo_eval_step,
+                halo_train_step,
+            )
+
+            self._halo_step = halo_train_step(
+                model, self.tx, mesh, loss_fn=self.loss_fn
+            )
+            self._halo_eval = halo_eval_step(model, mesh)
+
         self._device_data = None
-        if collate is None and config.use_device_data:
+        if (
+            collate is None
+            and config.use_device_data
+            and self._halo_step is None
+        ):
             from molkgnn_tpu.graphs.device_pack import DeviceDataset
             from molkgnn_tpu.graphs.packed import PackedGraphs
 
@@ -478,6 +515,53 @@ class Trainer:
         true = np.array([self.dataset.graphs[i].y for i in ids], np.float32)
         return true, pred
 
+    def _partition_halo_pinned(self, batch):
+        """Partition a batch over the mesh with RUN-PINNED capacities so
+        every dispatch of the run hits one compiled program. Capacities
+        come from the first batch seen, widened by a margin (sampled
+        batches vary in halo size); an overflowing later batch raises
+        partition_halo's descriptive error — widen HALO_CAP_MARGIN."""
+        from molkgnn_tpu.parallel.halo import partition_halo
+
+        ndev = int(np.prod(list(self.mesh.shape.values())))
+        if self._halo_caps is None:
+            base = partition_halo(batch, ndev).caps()
+            margin = 1.5
+
+            def widen(v):
+                return int(-(-int(v * margin) // 8) * 8)
+
+            self._halo_caps = {
+                "ns": base["ns"],  # spec-fixed: total nodes / ndev
+                "hp": widen(base["hp"]),
+                "el": widen(base["el"]),
+                "eh": widen(base["eh"]),
+                "buckets": tuple(widen(b) for b in base["buckets"]),
+            }
+        return partition_halo(batch, ndev, caps=self._halo_caps)
+
+    def _predict_halo(self, graphs) -> tuple[np.ndarray, np.ndarray]:
+        """Model-parallel evaluation: each eval batch goes through the
+        halo-partitioned full-model forward (same pinned capacities as
+        training); logits are replicated, one readback at the end."""
+        loader = GraphLoader(
+            graphs, self.spec, self.config.batch_size, shuffle=False,
+        )
+        dev_preds, masks, trues = [], [], []
+        for batch in loader:
+            dev_preds.append(
+                self._halo_eval(
+                    self.state.params,
+                    self.state.batch_stats,
+                    self._partition_halo_pinned(batch),
+                )
+            )
+            masks.append(np.asarray(batch.graph_mask))
+            trues.append(np.asarray(batch.y))
+        all_pred = np.asarray(jnp.concatenate(dev_preds))
+        mask = np.concatenate(masks)
+        return np.concatenate(trues)[mask], all_pred[mask]
+
     def _predict(self, graphs) -> tuple[np.ndarray, np.ndarray]:
         loader = GraphLoader(
             graphs, self.spec, self.config.batch_size, shuffle=False,
@@ -499,7 +583,9 @@ class Trainer:
         return np.concatenate(trues)[mask], all_pred[mask]
 
     def evaluate(self, part: str = "valid") -> Dict[str, float]:
-        if self._device_data is not None:
+        if self._halo_step is not None:
+            true_y, pred_y = self._predict_halo(self.dataset.subset(part))
+        elif self._device_data is not None:
             true_y, pred_y = self._predict_ids(
                 np.asarray(self.dataset.split[part])
             )
@@ -568,7 +654,7 @@ class Trainer:
         os.makedirs(cfg.log_dir, exist_ok=True)
         ndev = int(np.prod(list(self.mesh.shape.values()))) if self.mesh else 1
         steps_per_epoch = -(-len(self.dataset.split["train"]) // cfg.batch_size)
-        if ndev > 1 and steps_per_epoch < ndev:
+        if ndev > 1 and self._halo_step is None and steps_per_epoch < ndev:
             raise ValueError(
                 f"data-parallel fit() needs at least one id-batch per device:"
                 f" ceil(n_train/batch_size) = {steps_per_epoch} <"
@@ -577,7 +663,16 @@ class Trainer:
         for epoch in range(start_epoch, cfg.max_epochs):
             t0 = time.time()
             losses = []
-            if self.mesh is None and self._device_data is not None:
+            if self._halo_step is not None:
+                # Model-parallel (halo) training: every batch is node-
+                # sharded over the whole mesh; one optimizer step per
+                # batch, same global-batch semantics as single device.
+                for batch in loader:
+                    self.state, loss = self._halo_step(
+                        self.state, self._partition_halo_pinned(batch)
+                    )
+                    losses.append(loss)
+            elif self.mesh is None and self._device_data is not None:
                 if cfg.scan_steps > 1:
                     blocks = np.stack(list(self._epoch_id_batches(cfg)))
                     k = cfg.scan_steps
@@ -856,7 +951,11 @@ class Trainer:
             self.load_checkpoint_tag(tag)
             # Same device-resident eval path as evaluate(): ids-only H2D,
             # one readback per checkpoint (no host-loader re-collation).
-            if self._device_data is not None:
+            if self._halo_step is not None:
+                true_y, pred_y = self._predict_halo(
+                    self.dataset.subset("test")
+                )
+            elif self._device_data is not None:
                 true_y, pred_y = self._predict_ids(
                     np.asarray(self.dataset.split["test"])
                 )

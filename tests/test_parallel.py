@@ -712,3 +712,66 @@ def test_hybrid_parallel_forward_matches_single_device():
     for i, b in enumerate([b0, b1]):
         want = np.asarray(model.apply(variables, b))
         np.testing.assert_allclose(got[i], want, rtol=2e-5, atol=2e-5)
+
+
+def test_trainer_model_parallel_halo_fit_matches_single_device():
+    """TrainConfig.model_parallel='halo': the Trainer's own fit/evaluate
+    run through the halo partition end-to-end (pinned caps, one program)
+    and track the single-device Trainer epoch-for-epoch on the same
+    sampled batches — train losses, eval metrics, and final params."""
+    from molkgnn_tpu.data.dataset import Dataset
+
+    graphs = _chain_graphs(seed=71, n_graphs=32)
+    spec = spec_for_graphs(graphs, batch_size=8)
+    ds = Dataset(
+        name="chains",
+        graphs=graphs,
+        split={
+            "train": np.arange(24),
+            "valid": np.arange(24, 28),
+            "test": np.arange(28, 32),
+        },
+        metrics=["AUC"],
+        loss_name="bce_with_logits",
+    )
+
+    def make(mesh, mp):
+        model = GNNModel(
+            encoder=MolKGNNNet(
+                num_layers=2,
+                kernels_1hop=(2, 3, 4, 5),
+                kernels_nhop=(2, 3, 4, 5),
+                graph_embedding_dim=8,
+            ),
+            ffn_dropout_rate=0.0,
+        )
+        cfg = TrainConfig(
+            batch_size=8, max_epochs=2, warmup_iterations=5,
+            oversample=False, progress=False, use_device_data=False,
+            model_parallel=mp,
+        )
+        return Trainer(model, ds, spec, cfg, mesh=mesh)
+
+    sd = make(None, None)
+    h_sd = sd.fit()
+
+    halo = make(make_mesh(4), "halo")
+    assert halo._halo_step is not None
+    h_halo = halo.fit()
+
+    assert len(h_halo) == len(h_sd) == 2
+    for a, b in zip(h_halo, h_sd):
+        np.testing.assert_allclose(
+            a["train_loss"], b["train_loss"], rtol=1e-5
+        )
+        np.testing.assert_allclose(a["loss"], b["loss"], rtol=1e-4)
+        np.testing.assert_allclose(a["AUC"], b["AUC"], rtol=1e-6)
+    for g, w in zip(
+        jax.tree.leaves(halo.state.params), jax.tree.leaves(sd.state.params)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(w), rtol=5e-4, atol=1e-5
+        )
+    # test() runs the halo eval path per checkpoint tag
+    res = halo.test()
+    assert "last" in res and np.isfinite(res["last"]["AUC"])
