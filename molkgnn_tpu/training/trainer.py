@@ -519,26 +519,44 @@ class Trainer:
         """Partition a batch over the mesh with RUN-PINNED capacities so
         every dispatch of the run hits one compiled program. Capacities
         come from the first batch seen, widened by a margin (sampled
-        batches vary in halo size); an overflowing later batch raises
-        partition_halo's descriptive error — widen HALO_CAP_MARGIN."""
+        batches vary in halo size). A later batch that still overflows
+        re-widens the caps from the offender and pays ONE recompile
+        instead of killing the run — by construction caps only grow, so
+        re-widening converges."""
         from molkgnn_tpu.parallel.halo import partition_halo
 
         ndev = int(np.prod(list(self.mesh.shape.values())))
-        if self._halo_caps is None:
-            base = partition_halo(batch, ndev).caps()
-            margin = 1.5
+        margin = 1.5
 
-            def widen(v):
-                return int(-(-int(v * margin) // 8) * 8)
-
-            self._halo_caps = {
+        def widen(base):
+            w = lambda v: int(-(-int(v * margin) // 8) * 8)
+            return {
                 "ns": base["ns"],  # spec-fixed: total nodes / ndev
-                "hp": widen(base["hp"]),
-                "el": widen(base["el"]),
-                "eh": widen(base["eh"]),
-                "buckets": tuple(widen(b) for b in base["buckets"]),
+                "hp": w(base["hp"]),
+                "el": w(base["el"]),
+                "eh": w(base["eh"]),
+                "buckets": tuple(w(b) for b in base["buckets"]),
             }
-        return partition_halo(batch, ndev, caps=self._halo_caps)
+
+        if self._halo_caps is None:
+            self._halo_caps = widen(partition_halo(batch, ndev).caps())
+        try:
+            return partition_halo(batch, ndev, caps=self._halo_caps)
+        except ValueError:
+            need = partition_halo(batch, ndev).caps()
+            grown = widen(need)
+            self._halo_caps = {
+                k: (
+                    tuple(
+                        max(a, b)
+                        for a, b in zip(self._halo_caps[k], grown[k])
+                    )
+                    if k == "buckets"
+                    else max(self._halo_caps[k], grown[k])
+                )
+                for k in self._halo_caps
+            }
+            return partition_halo(batch, ndev, caps=self._halo_caps)
 
     def _predict_halo(self, graphs) -> tuple[np.ndarray, np.ndarray]:
         """Model-parallel evaluation: each eval batch goes through the

@@ -775,3 +775,37 @@ def test_trainer_model_parallel_halo_fit_matches_single_device():
     # test() runs the halo eval path per checkpoint tag
     res = halo.test()
     assert "last" in res and np.isfinite(res["last"]["AUC"])
+
+
+def test_trainer_halo_caps_regrow_on_overflow():
+    """An eval/train batch that overflows the run-pinned halo capacities
+    must re-widen them (one recompile) instead of killing the run."""
+    from molkgnn_tpu.data.dataset import Dataset
+
+    graphs = _chain_graphs(seed=77, n_graphs=16, lo=10, hi=16)
+    spec = spec_for_graphs(graphs, batch_size=8)
+    ds = Dataset(
+        name="chains", graphs=graphs,
+        split={"train": np.arange(12), "valid": np.arange(12, 14),
+               "test": np.arange(14, 16)},
+        metrics=["AUC"], loss_name="bce_with_logits",
+    )
+    model = GNNModel(
+        encoder=MolKGNNNet(
+            num_layers=1, kernels_1hop=(2, 3, 4, 5),
+            kernels_nhop=(2, 3, 4, 5), graph_embedding_dim=8,
+        ),
+        ffn_dropout_rate=0.0,
+    )
+    cfg = TrainConfig(
+        batch_size=8, max_epochs=1, warmup_iterations=3, oversample=False,
+        progress=False, use_device_data=False, model_parallel="halo",
+    )
+    trainer = Trainer(model, ds, spec, cfg, mesh=make_mesh(4))
+    batch = next(iter(GraphLoader(ds.graphs[:8], spec, 8)))
+    trainer._partition_halo_pinned(batch)  # pins caps
+    # Sabotage the pinned caps so the same batch now overflows.
+    trainer._halo_caps = dict(trainer._halo_caps, el=8)
+    hb = trainer._partition_halo_pinned(batch)  # must regrow, not raise
+    assert trainer._halo_caps["el"] >= 8
+    assert int(np.asarray(hb.edge_mask_local).sum()) > 0
