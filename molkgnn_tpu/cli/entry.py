@@ -29,10 +29,15 @@ def build_parser(gnn_type: str) -> argparse.ArgumentParser:
     t.add_argument("--default_root_dir", type=str, default=".")
     t.add_argument("--num_devices", type=int, default=1)
     # none: single device (or DP when num_devices > 1); halo: node-sharded
-    # halo-exchange model parallelism over num_devices (kgnn only).
+    # halo-exchange model parallelism over num_devices (kgnn only);
+    # hybrid: data x model 2D mesh (num_data_shards x
+    # num_devices/num_data_shards).
     t.add_argument(
-        "--model_parallel", choices=["none", "halo"], default="none"
+        "--model_parallel",
+        choices=["none", "halo", "hybrid"],
+        default="none",
     )
+    t.add_argument("--num_data_shards", type=int, default=2)
     t.add_argument("--task_name", type=str, default="Unnamed")
     t.add_argument("--task_comment", type=str, default="")
     t.add_argument("--machine", type=str, default="tpu")
@@ -313,7 +318,18 @@ def main(argv=None):
     )
     collate = None if args.gnn_type == "kgnn" else fam.collate
     mesh = None
-    if args.model_parallel == "halo" or args.num_devices > 1:
+    if args.model_parallel == "hybrid":
+        from molkgnn_tpu.parallel import make_mesh_2d
+
+        nd = args.num_data_shards
+        if args.num_devices % nd:
+            raise SystemExit(
+                f"--num_devices {args.num_devices} not divisible by"
+                f" --num_data_shards {nd}"
+            )
+        mesh = make_mesh_2d(nd, args.num_devices // nd)
+        cfg.model_parallel = "hybrid"
+    elif args.model_parallel == "halo" or args.num_devices > 1:
         from molkgnn_tpu.parallel import make_mesh
 
         mesh = make_mesh(args.num_devices)

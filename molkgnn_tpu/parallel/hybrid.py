@@ -130,6 +130,47 @@ def hybrid_parallel_forward(
     return jax.jit(fn)
 
 
+def hybrid_eval_step(
+    model,  # GNNModel wrapper (encoder=MolKGNNNet)
+    mesh: Mesh,
+    data_axis: str = "data",
+    model_axis: str = "model",
+):
+    """Jitted eval-mode FULL-model forward over the 2D mesh:
+    ``(params, batch_stats, stacked HaloBatch [Nd, Nm, ...]) ->
+    logits [Nd, B]`` — Nd eval batches evaluated concurrently, each
+    node-sharded over its model row (running BN stats, no dropout). The
+    eval twin of ``hybrid_train_step`` used by the Trainer's
+    model_parallel='hybrid' path."""
+    ndev_m = int(mesh.shape[model_axis])
+    encoder = model.encoder
+
+    def per_device(params, stats, hb):
+        hb = jax.tree.map(lambda a: a[0, 0], hb)
+        pooled, _ = _encoder_forward(
+            encoder,
+            params["encoder"],
+            stats["encoder"],
+            hb,
+            model_axis,
+            ndev_m,
+            train=False,
+        )
+        logits = TorchLinear(model.task_dim).apply(
+            {"params": params["ffn"]}, pooled
+        )[..., 0]
+        return logits[None]  # [1, B] -> gathered over the data axis
+
+    fn = shard_map(
+        per_device,
+        mesh=mesh,
+        in_specs=(P(), P(), P(data_axis, model_axis)),
+        out_specs=P(data_axis),
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
 def hybrid_train_step(
     model,  # GNNModel wrapper (encoder=MolKGNNNet)
     tx,

@@ -115,8 +115,13 @@ class TrainConfig:
     # (parallel/halo.py) over the Trainer's mesh — each batch is
     # host-partitioned with run-pinned capacities (one compiled program)
     # and the full step (psum'd BN stats, grads through the exchanges,
-    # pmean reduction, AdamW) executes under shard_map. None = data
-    # parallelism over the mesh (the default regime).
+    # pmean reduction, AdamW) executes under shard_map. "hybrid" composes
+    # data x model parallelism over a 2D mesh (parallel/hybrid.py): each
+    # optimizer step consumes mesh.shape['data'] loader batches (global
+    # batch = nd * batch_size; pass tot_iterations explicitly if the LR
+    # schedule must account for the larger step), each node-sharded over
+    # its model row. None = data parallelism over the mesh (the default
+    # regime).
     model_parallel: Optional[str] = None
 
     def resolve_tot_iterations(self, num_train: int) -> int:
@@ -217,34 +222,54 @@ class Trainer:
 
         self._halo_step = None
         self._halo_caps = None
+        self._hybrid_step = None
+        self._hybrid_caps = None
         if config.model_parallel is not None:
-            if config.model_parallel != "halo":
+            if config.model_parallel not in ("halo", "hybrid"):
                 raise ValueError(
                     f"unknown model_parallel={config.model_parallel!r}"
-                    " (supported: 'halo')"
+                    " (supported: 'halo', 'hybrid')"
                 )
             if mesh is None:
-                raise ValueError("model_parallel='halo' requires a mesh")
+                raise ValueError(
+                    f"model_parallel={config.model_parallel!r} requires a mesh"
+                )
             if collate is not None:
                 raise ValueError(
-                    "model_parallel='halo' supports the kgnn batch family"
+                    "model_parallel supports the kgnn batch family"
                     " only (default collate)"
                 )
-            from molkgnn_tpu.parallel.halo import (
-                halo_eval_step,
-                halo_train_step,
-            )
+            if config.model_parallel == "halo":
+                from molkgnn_tpu.parallel.halo import (
+                    halo_eval_step,
+                    halo_train_step,
+                )
 
-            self._halo_step = halo_train_step(
-                model, self.tx, mesh, loss_fn=self.loss_fn
-            )
-            self._halo_eval = halo_eval_step(model, mesh)
+                self._halo_step = halo_train_step(
+                    model, self.tx, mesh, loss_fn=self.loss_fn
+                )
+                self._halo_eval = halo_eval_step(model, mesh)
+            else:
+                if set(mesh.shape) != {"data", "model"}:
+                    raise ValueError(
+                        "model_parallel='hybrid' needs a 2D mesh with"
+                        f" axes ('data', 'model'); got {tuple(mesh.shape)}"
+                    )
+                from molkgnn_tpu.parallel.hybrid import (
+                    hybrid_eval_step,
+                    hybrid_train_step,
+                )
+
+                self._hybrid_step = hybrid_train_step(
+                    model, self.tx, mesh, loss_fn=self.loss_fn
+                )
+                self._hybrid_eval = hybrid_eval_step(model, mesh)
 
         self._device_data = None
         if (
             collate is None
             and config.use_device_data
-            and self._halo_step is None
+            and config.model_parallel is None
         ):
             from molkgnn_tpu.graphs.device_pack import DeviceDataset
             from molkgnn_tpu.graphs.packed import PackedGraphs
@@ -558,6 +583,77 @@ class Trainer:
             }
             return partition_halo(batch, ndev, caps=self._halo_caps)
 
+    def _partition_hybrid_pinned(self, group):
+        """partition_hybrid with run-pinned, overflow-regrowing caps (the
+        2D analogue of _partition_halo_pinned; capacities are shared by
+        every group of the run)."""
+        from molkgnn_tpu.parallel.halo import partition_halo
+        from molkgnn_tpu.parallel.hybrid import partition_hybrid
+
+        nm = int(self.mesh.shape["model"])
+        margin = 1.5
+
+        def widen(base):
+            w = lambda v: int(-(-int(v * margin) // 8) * 8)
+            return {
+                "ns": base["ns"],
+                "hp": w(base["hp"]),
+                "el": w(base["el"]),
+                "eh": w(base["eh"]),
+                "buckets": tuple(w(b) for b in base["buckets"]),
+            }
+
+        def union(a, b):
+            return {
+                k: (
+                    tuple(max(x, y) for x, y in zip(a[k], b[k]))
+                    if k == "buckets"
+                    else max(a[k], b[k])
+                )
+                for k in a
+            }
+
+        if self._hybrid_caps is None:
+            caps = None
+            for g in group:
+                c = widen(partition_halo(g, nm).caps())
+                caps = c if caps is None else union(caps, c)
+            self._hybrid_caps = caps
+        try:
+            return partition_hybrid(group, nm, caps=self._hybrid_caps)
+        except ValueError:
+            for g in group:
+                self._hybrid_caps = union(
+                    self._hybrid_caps, widen(partition_halo(g, nm).caps())
+                )
+            return partition_hybrid(group, nm, caps=self._hybrid_caps)
+
+    def _predict_hybrid(self, graphs) -> tuple[np.ndarray, np.ndarray]:
+        """Hybrid 2D evaluation: nd eval batches per dispatch through the
+        full-model forward; the last group is padded by repeating its
+        final batch (duplicate rows discarded), one readback at the end."""
+        nd = int(self.mesh.shape["data"])
+        batches = list(
+            GraphLoader(
+                graphs, self.spec, self.config.batch_size, shuffle=False,
+            )
+        )
+        dev_preds, masks, trues = [], [], []
+        for start in range(0, len(batches), nd):
+            grp = batches[start : start + nd]
+            full = grp + [grp[-1]] * (nd - len(grp))
+            out = self._hybrid_eval(
+                self.state.params,
+                self.state.batch_stats,
+                self._partition_hybrid_pinned(full),
+            )  # [nd, B]
+            dev_preds.extend(out[i] for i in range(len(grp)))
+            masks.extend(np.asarray(b.graph_mask) for b in grp)
+            trues.extend(np.asarray(b.y) for b in grp)
+        all_pred = np.asarray(jnp.concatenate(dev_preds))
+        mask = np.concatenate(masks)
+        return np.concatenate(trues)[mask], all_pred[mask]
+
     def _predict_halo(self, graphs) -> tuple[np.ndarray, np.ndarray]:
         """Model-parallel evaluation: each eval batch goes through the
         halo-partitioned full-model forward (same pinned capacities as
@@ -603,6 +699,8 @@ class Trainer:
     def evaluate(self, part: str = "valid") -> Dict[str, float]:
         if self._halo_step is not None:
             true_y, pred_y = self._predict_halo(self.dataset.subset(part))
+        elif self._hybrid_step is not None:
+            true_y, pred_y = self._predict_hybrid(self.dataset.subset(part))
         elif self._device_data is not None:
             true_y, pred_y = self._predict_ids(
                 np.asarray(self.dataset.split[part])
@@ -672,7 +770,11 @@ class Trainer:
         os.makedirs(cfg.log_dir, exist_ok=True)
         ndev = int(np.prod(list(self.mesh.shape.values()))) if self.mesh else 1
         steps_per_epoch = -(-len(self.dataset.split["train"]) // cfg.batch_size)
-        if ndev > 1 and self._halo_step is None and steps_per_epoch < ndev:
+        if (
+            ndev > 1
+            and self.config.model_parallel is None
+            and steps_per_epoch < ndev
+        ):
             raise ValueError(
                 f"data-parallel fit() needs at least one id-batch per device:"
                 f" ceil(n_train/batch_size) = {steps_per_epoch} <"
@@ -690,6 +792,22 @@ class Trainer:
                         self.state, self._partition_halo_pinned(batch)
                     )
                     losses.append(loss)
+            elif self._hybrid_step is not None:
+                # Hybrid 2D training: nd loader batches per optimizer
+                # step (global batch nd*B), each node-sharded over its
+                # model row. The trailing partial group is dropped
+                # (resampled next epoch), matching the DP path.
+                nd = int(self.mesh.shape["data"])
+                group = []
+                for batch in loader:
+                    group.append(batch)
+                    if len(group) == nd:
+                        self.state, loss = self._hybrid_step(
+                            self.state,
+                            self._partition_hybrid_pinned(group),
+                        )
+                        losses.append(loss)
+                        group = []
             elif self.mesh is None and self._device_data is not None:
                 if cfg.scan_steps > 1:
                     blocks = np.stack(list(self._epoch_id_batches(cfg)))
@@ -971,6 +1089,10 @@ class Trainer:
             # one readback per checkpoint (no host-loader re-collation).
             if self._halo_step is not None:
                 true_y, pred_y = self._predict_halo(
+                    self.dataset.subset("test")
+                )
+            elif self._hybrid_step is not None:
+                true_y, pred_y = self._predict_hybrid(
                     self.dataset.subset("test")
                 )
             elif self._device_data is not None:

@@ -809,3 +809,59 @@ def test_trainer_halo_caps_regrow_on_overflow():
     hb = trainer._partition_halo_pinned(batch)  # must regrow, not raise
     assert trainer._halo_caps["el"] >= 8
     assert int(np.asarray(hb.edge_mask_local).sum()) > 0
+
+
+def test_trainer_model_parallel_hybrid_fit_matches_single_device():
+    """TrainConfig.model_parallel='hybrid' on a 2x2 mesh: each optimizer
+    step consumes 2 loader batches of 8 (global batch 16). The
+    single-device Trainer with batch_size=16 consumes the IDENTICAL id
+    stream (same seeded shuffle order), so with tot_iterations pinned the
+    two runs must track each other epoch-for-epoch."""
+    from molkgnn_tpu.data.dataset import Dataset
+    from molkgnn_tpu.parallel.hybrid import make_mesh_2d
+
+    graphs = _chain_graphs(seed=83, n_graphs=40)
+    spec = spec_for_graphs(graphs, batch_size=16)
+    ds = Dataset(
+        name="chains", graphs=graphs,
+        split={"train": np.arange(32), "valid": np.arange(32, 36),
+               "test": np.arange(36, 40)},
+        metrics=["AUC"], loss_name="bce_with_logits",
+    )
+
+    def make(mesh, mp, bs):
+        model = GNNModel(
+            encoder=MolKGNNNet(
+                num_layers=2, kernels_1hop=(2, 3, 4, 5),
+                kernels_nhop=(2, 3, 4, 5), graph_embedding_dim=8,
+            ),
+            ffn_dropout_rate=0.0,
+        )
+        cfg = TrainConfig(
+            batch_size=bs, max_epochs=2, warmup_iterations=5,
+            tot_iterations=10, oversample=False, progress=False,
+            use_device_data=False, model_parallel=mp,
+        )
+        return Trainer(model, ds, spec, cfg, mesh=mesh)
+
+    sd = make(None, None, 16)
+    h_sd = sd.fit()
+
+    hy = make(make_mesh_2d(2, 2), "hybrid", 8)
+    assert hy._hybrid_step is not None
+    h_hy = hy.fit()
+
+    assert len(h_hy) == len(h_sd) == 2
+    for a, b in zip(h_hy, h_sd):
+        np.testing.assert_allclose(
+            a["train_loss"], b["train_loss"], rtol=1e-5
+        )
+        np.testing.assert_allclose(a["loss"], b["loss"], rtol=1e-4)
+    for g, w in zip(
+        jax.tree.leaves(hy.state.params), jax.tree.leaves(sd.state.params)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(w), rtol=5e-4, atol=1e-5
+        )
+    res = hy.test()
+    assert "last" in res and np.isfinite(res["last"]["AUC"])
