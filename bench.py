@@ -305,6 +305,16 @@ def _final_json(rows, extra):
     }
     if "link_rtt_ms" in _PARTIAL:
         out["link_rtt_ms"] = _PARTIAL["link_rtt_ms"]
+        # The relay link has a known stable ~300x-degraded failure state
+        # (tiny-dispatch+readback RTT ~29 ms vs <5 ms healthy; see CLAUDE.md).
+        # Make the artifact self-explaining: rates measured through a degraded
+        # link characterize the link, not the code — point at the committed
+        # healthy-link measurement of the same code.
+        if _PARTIAL["link_rtt_ms"] > 10.0:
+            out["link_state"] = "degraded"
+            out["healthy_reference"] = "benchmarks/BENCH_r03_midround.json"
+        else:
+            out["link_state"] = "healthy"
     try:
         import jax
 
