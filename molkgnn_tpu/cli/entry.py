@@ -76,6 +76,11 @@ def build_parser(gnn_type: str) -> argparse.ArgumentParser:
     # (graphs/balance.py): ~1.7x smaller padded shapes, same per-epoch
     # sample multiset. kgnn (device-data) family only.
     d.add_argument("--balanced_batches", action="store_true", default=False)
+    # Sample training ids ON DEVICE (inverse-CDF over the oversampling
+    # distribution, device RNG): zero per-step host input — the epoch runs
+    # entirely from HBM. Requires --enable_oversampling_with_replacement;
+    # kgnn single-device only (trainer.TrainConfig.device_sampling).
+    d.add_argument("--device_sampling", action="store_true", default=False)
 
     p.add_argument("--gnn_type", type=str, default=gnn_type)
 
@@ -310,6 +315,12 @@ def main(argv=None):
         log_dir=log_dir,
         checkpoint_dir=os.path.join(args.default_root_dir, "checkpoints"),
         balanced_batches=balanced,
+        device_sampling=(
+            args.device_sampling
+            and args.gnn_type == "kgnn"
+            and args.model_parallel == "none"
+            and args.num_devices == 1
+        ),
         autosave_path=(
             os.path.join(args.default_root_dir, "autosave")
             if args.autosave

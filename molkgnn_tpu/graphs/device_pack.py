@@ -173,3 +173,32 @@ def pad_ids(ids: np.ndarray, batch_size: int) -> np.ndarray:
     out = np.full((batch_size,), -1, np.int32)
     out[: len(ids)] = ids
     return out
+
+
+def sampling_cdf(weights: np.ndarray) -> np.ndarray:
+    """Inclusive cumulative distribution over sampler positions (host-side,
+    built once per run) for ``sample_ids``. ``weights`` are unnormalized
+    per-position sampling weights (e.g. inverse class counts — the
+    reference's WeightedRandomSampler weights, /root/reference/data.py:
+    144-166)."""
+    w = np.asarray(weights, np.float64)
+    cdf = np.cumsum(w / w.sum())
+    cdf[-1] = 1.0  # guard fp drift so every u in [0,1) lands in-range
+    return cdf.astype(np.float32)
+
+
+def sample_ids(key, cdf, train_ids, batch_size: int):
+    """Draw ``batch_size`` i.i.d. weighted samples ON DEVICE (jittable).
+
+    Inverse-CDF sampling: u ~ U[0,1), position = #{j : cdf[j] <= u}, so
+    P(position = i) equals the normalized weight of position i — exactly
+    the reference's WeightedRandomSampler(replacement=True) semantics
+    (torch.multinomial is the same i.i.d. categorical). Sampling on device
+    removes the last per-step host->device dependency of the training loop
+    (the [B] id vector), which is what a remote/tunneled dispatch link is
+    slowest at; the whole epoch then runs from HBM.
+    """
+    u = jax.random.uniform(key, (batch_size,), dtype=jnp.float32)
+    idx = jnp.searchsorted(cdf, u, side="right").astype(jnp.int32)
+    idx = jnp.minimum(idx, cdf.shape[0] - 1)
+    return train_ids[idx]

@@ -109,7 +109,9 @@ class Predictor:
         )
         out = np.concatenate(scores) if scores else np.zeros((0,))
         if probabilities:
-            out = 1.0 / (1.0 + np.exp(-out))
+            from molkgnn_tpu.training.metrics import sigmoid
+
+            out = sigmoid(out)
         if return_embeddings:
             return out, np.concatenate(embs) if embs else np.zeros((0, 0))
         return out

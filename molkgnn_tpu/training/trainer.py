@@ -102,6 +102,21 @@ class TrainConfig:
     # math is identical to step-by-step execution (same RNG fold-in per
     # step, same updates); only the dispatch granularity changes.
     scan_steps: int = 1
+    # Sample the training ids ON DEVICE (graphs/device_pack.sample_ids):
+    # each fused step draws its [B] ids from the oversampling distribution
+    # with the train RNG (inverse-CDF over a device-resident cdf), so a
+    # training dispatch consumes NO per-step host input at all — the whole
+    # epoch runs from HBM and only the per-epoch loss vector comes back.
+    # Same sampler semantics as the host path (i.i.d. weighted draws with
+    # replacement, the reference's WeightedRandomSampler contract,
+    # /root/reference/data.py:144-166) but a different (device) RNG stream.
+    # Removes the per-step id H2D transfer, which is the entire remaining
+    # host dependency of the device-data loop — and on a degraded tunnel
+    # link (CLAUDE.md: ~30 ms/KB H2D) the difference between measuring the
+    # machine and measuring the link. Requires the single-device
+    # device-data path with oversample=True (shuffle-without-replacement
+    # epochs stay on the host sampler).
+    device_sampling: bool = False
     # Preemption-safe training (framework extension; the reference has no
     # fault tolerance beyond crash-level retries, SURVEY §5): when set,
     # fit() writes a full-state autosave (save_state + history) after every
@@ -281,6 +296,28 @@ class Trainer:
             if mesh is None:
                 self._train_step_ids = self._build_train_step_ids()
                 self._train_steps_scan = self._build_train_steps_scan()
+                if config.device_sampling:
+                    from molkgnn_tpu.data.dataset import oversampling_weights
+                    from molkgnn_tpu.graphs.device_pack import sampling_cdf
+
+                    if not config.oversample:
+                        raise ValueError(
+                            "device_sampling reproduces the oversampling "
+                            "(with-replacement) sampler; shuffle epochs "
+                            "stay on the host path"
+                        )
+                    if config.balanced_batches:
+                        raise ValueError(
+                            "device_sampling and balanced_batches are "
+                            "mutually exclusive (dealing is host-side)"
+                        )
+                    train_ids = np.asarray(dataset.split["train"], np.int32)
+                    labels = np.array([dataset.graphs[i].y for i in train_ids])
+                    self._sample_consts = (
+                        jnp.asarray(train_ids),
+                        jnp.asarray(sampling_cdf(oversampling_weights(labels))),
+                    )
+                    self._sample_programs: Dict[int, Callable] = {}
             else:
                 # Device-resident DP: dataset replicated in every chip's
                 # HBM, id blocks sharded over the mesh, K steps fused per
@@ -303,6 +340,17 @@ class Trainer:
                 self._train_steps_scan_dp = shard_scan_steps(
                     self._train_step_fn, gather_batch, spec, mesh
                 )
+        if config.device_sampling and self._device_data is None:
+            raise ValueError(
+                "device_sampling requires the single-device device-data "
+                "path (default collate, use_device_data=True, no mesh, "
+                "no model_parallel)"
+            )
+        if config.device_sampling and mesh is not None:
+            raise ValueError(
+                "device_sampling is single-device in this version; use the "
+                "host id sampler with the data-parallel mesh"
+            )
 
     # ------------------------------------------------------------------
     def _build_train_step(self) -> Callable:
@@ -396,6 +444,45 @@ class Trainer:
             return jax.lax.scan(body, state, ids_block)
 
         return jax.jit(train_steps, donate_argnums=(0,))
+
+    # Distinct fold-in salt so the device sampler's per-step keys never
+    # collide with the dropout stream (which folds the bare step counter).
+    _SAMPLE_SALT = 0x5A17
+
+    def _train_steps_sample(self, k: int) -> Callable:
+        """K optimizer steps per dispatch with the ids SAMPLED ON DEVICE
+        (config.device_sampling): the scan body draws [B] weighted ids from
+        the device-resident train cdf with a per-step key folded from the
+        state RNG, assembles the batch from HBM, and steps the optimizer —
+        zero per-step host input. Returns (state, losses [K], edges [K]);
+        the per-step true-edge counts make throughput accounting possible
+        without the host knowing which ids were drawn. Programs are cached
+        per K (the epoch remainder needs one extra, smaller program)."""
+        prog = self._sample_programs.get(k)
+        if prog is not None:
+            return prog
+        from molkgnn_tpu.graphs.device_pack import gather_batch, sample_ids
+
+        spec, step_fn = self.spec, self._train_step_fn
+        bs, salt = self.config.batch_size, self._SAMPLE_SALT
+
+        def train_steps(state, data, train_ids, cdf):
+            def body(st, _):
+                key = jax.random.fold_in(
+                    jax.random.fold_in(st.rng, st.step), salt
+                )
+                ids = sample_ids(key, cdf, train_ids, bs)
+                new_st, loss = step_fn(st, gather_batch(data, ids, spec))
+                return new_st, (loss, data.edge_count[ids].sum())
+
+            new_state, (losses, edges) = jax.lax.scan(
+                body, state, None, length=k
+            )
+            return new_state, losses, edges
+
+        prog = jax.jit(train_steps, donate_argnums=(0,))
+        self._sample_programs[k] = prog
+        return prog
 
     def _build_eval_step_ids(self) -> Callable:
         from molkgnn_tpu.graphs.device_pack import gather_batch
@@ -809,7 +896,24 @@ class Trainer:
                         losses.append(loss)
                         group = []
             elif self.mesh is None and self._device_data is not None:
-                if cfg.scan_steps > 1:
+                if cfg.device_sampling:
+                    # Zero-host-input epoch: steps_per_epoch weighted draws
+                    # happen on device (same epoch length as the host
+                    # sampler); only the loss vectors come back.
+                    tids, cdf = self._sample_consts
+                    k = max(cfg.scan_steps, 1)
+                    nblocks, rem = divmod(steps_per_epoch, k)
+                    for _ in range(nblocks):
+                        self.state, loss_k, _ = self._train_steps_sample(k)(
+                            self.state, self._device_data, tids, cdf
+                        )
+                        losses.append(loss_k)
+                    if rem:
+                        self.state, loss_r, _ = self._train_steps_sample(
+                            rem
+                        )(self.state, self._device_data, tids, cdf)
+                        losses.append(loss_r)
+                elif cfg.scan_steps > 1:
                     blocks = np.stack(list(self._epoch_id_batches(cfg)))
                     k = cfg.scan_steps
                     whole = (blocks.shape[0] // k) * k

@@ -184,6 +184,104 @@ def test_scan_steps_match_single_steps(tmp_path):
         )
 
 
+def test_device_sample_ids_distribution_and_range():
+    """sample_ids must reproduce WeightedRandomSampler(replacement=True)
+    semantics (reference data.py:144-166): i.i.d. draws with probability
+    proportional to inverse class counts — so a heavily imbalanced pool
+    samples ~50/50 active/inactive — and every id must come from the train
+    id set."""
+    import jax
+    import jax.numpy as jnp
+
+    from molkgnn_tpu.graphs.device_pack import sample_ids, sampling_cdf
+
+    labels = np.zeros(200)
+    labels[:20] = 1.0  # 10% actives
+    train_ids = np.arange(100, 300, dtype=np.int32)  # global ids offset
+    cdf = jnp.asarray(sampling_cdf(oversampling_weights(labels)))
+    tids = jnp.asarray(train_ids)
+    draws = []
+    for i in range(40):
+        ids = np.asarray(
+            jax.jit(sample_ids, static_argnums=3)(
+                jax.random.fold_in(jax.random.key(7), i), cdf, tids, 256
+            )
+        )
+        draws.append(ids)
+    ids = np.concatenate(draws)
+    assert ids.min() >= 100 and ids.max() < 300
+    active_frac = (ids < 120).mean()  # global ids 100..119 are the actives
+    assert abs(active_frac - 0.5) < 0.02  # 10240 draws; 3 sigma ~ 0.015
+    # Determinism: same key -> same ids.
+    a = sample_ids(jax.random.key(3), cdf, tids, 64)
+    b = sample_ids(jax.random.key(3), cdf, tids, 64)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_device_sampling_fit_runs_and_steps_exactly(tmp_path):
+    """device_sampling epochs run with ZERO per-step host input but keep
+    the host sampler's epoch budget (ceil(n_train/B) steps, incl. the
+    remainder program), advance the step counter exactly, produce finite
+    losses, and stay deterministic per seed."""
+    import jax
+
+    def run(tag):
+        ds = make_synthetic_dataset(seed=9, num_graphs=40, active_fraction=0.3)
+        spec = spec_for_graphs(ds.graphs, batch_size=8)
+        model = GNNModel(
+            encoder=MolKGNNNet(
+                num_layers=1, kernels_1hop=(2, 3, 2, 3),
+                kernels_nhop=(2, 3, 2, 3), graph_embedding_dim=8,
+            ),
+            ffn_dropout_rate=0.2,
+        )
+        cfg = TrainConfig(
+            batch_size=8, max_epochs=2, warmup_iterations=3,
+            oversample=True, progress=False, scan_steps=3,
+            device_sampling=True, log_dir=str(tmp_path / tag),
+        )
+        trainer = Trainer(model, ds, spec, cfg)
+        history = trainer.fit()
+        return trainer, history
+
+    t1, h1 = run("a")
+    # train split 32 graphs -> 4 steps/epoch; K=3 forces one full block
+    # plus a remainder-1 program per epoch.
+    assert int(np.asarray(t1.state.step)) == 8
+    assert sorted(t1._sample_programs) == [1, 3]
+    assert all(np.isfinite(h["train_loss"]) for h in h1)
+    t2, h2 = run("b")
+    assert [h["train_loss"] for h in h1] == [h["train_loss"] for h in h2]
+
+
+def test_device_sampling_validation():
+    """device_sampling outside its supported envelope must fail loudly."""
+    ds = make_synthetic_dataset(seed=9, num_graphs=24, active_fraction=0.3)
+    spec = spec_for_graphs(ds.graphs, batch_size=8)
+    model = GNNModel(
+        encoder=MolKGNNNet(
+            num_layers=1, kernels_1hop=(2, 3, 2, 3),
+            kernels_nhop=(2, 3, 2, 3), graph_embedding_dim=8,
+        )
+    )
+    with pytest.raises(ValueError, match="oversampling"):
+        Trainer(
+            model, ds, spec,
+            TrainConfig(
+                batch_size=8, oversample=False, device_sampling=True,
+                progress=False,
+            ),
+        )
+    with pytest.raises(ValueError, match="balanced"):
+        Trainer(
+            model, ds, spec,
+            TrainConfig(
+                batch_size=8, oversample=True, device_sampling=True,
+                balanced_batches=True, progress=False,
+            ),
+        )
+
+
 def test_full_state_resume(tmp_path):
     """Training N epochs == training k, save/load full state, train N-k."""
     import jax
