@@ -78,8 +78,9 @@ def build_parser(gnn_type: str) -> argparse.ArgumentParser:
     d.add_argument("--balanced_batches", action="store_true", default=False)
     # Sample training ids ON DEVICE (inverse-CDF over the oversampling
     # distribution, device RNG): zero per-step host input — the epoch runs
-    # entirely from HBM. Requires --enable_oversampling_with_replacement;
-    # kgnn single-device only (trainer.TrainConfig.device_sampling).
+    # entirely from HBM, single-device or data-parallel. Requires
+    # --enable_oversampling_with_replacement; kgnn family only
+    # (trainer.TrainConfig.device_sampling).
     d.add_argument("--device_sampling", action="store_true", default=False)
 
     p.add_argument("--gnn_type", type=str, default=gnn_type)
@@ -319,7 +320,6 @@ def main(argv=None):
             args.device_sampling
             and args.gnn_type == "kgnn"
             and args.model_parallel == "none"
-            and args.num_devices == 1
         ),
         autosave_path=(
             os.path.join(args.default_root_dir, "autosave")

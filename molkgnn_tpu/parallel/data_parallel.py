@@ -78,6 +78,62 @@ def shard_scan_steps(
     return jax.jit(sharded, donate_argnums=(0,))
 
 
+def shard_sample_steps(
+    step_fn: Callable,
+    gather: Callable,
+    spec,
+    mesh: Mesh,
+    batch_size: int,
+    k: int,
+    salt: int,
+    axis: str = "data",
+):
+    """Device-resident DP training with ON-DEVICE id sampling: zero
+    per-step host input at any device count.
+
+    Composes shard_scan_steps with graphs/device_pack.sample_ids: every
+    chip draws its own [B] weighted ids per scanned step (per-step key =
+    fold_in(state.rng, step) -> salt -> axis_index, so replicas sample
+    independent ids while their params stay bit-identical through the
+    pmean), gathers its sub-batch from its HBM-resident dataset copy, and
+    pmeans grads over ICI. Global batch = ndev*B i.i.d. draws from the
+    oversampling distribution — the same distribution the host DP sampler
+    feeds shard_scan_steps, different RNG stream.
+
+    Returns a jitted ``fn(state, device_data, train_ids, cdf) ->
+    (state, loss[K], edges[K])`` with replicated outputs; ``edges`` are
+    the per-step GLOBAL true-edge counts (psum) for throughput accounting.
+    """
+    from molkgnn_tpu.graphs.device_pack import sample_ids
+
+    def per_device(state, data, train_ids, cdf):
+        me = jax.lax.axis_index(axis)
+
+        def body(st, _):
+            key = jax.random.fold_in(
+                jax.random.fold_in(jax.random.fold_in(st.rng, st.step), salt),
+                me,
+            )
+            ids = sample_ids(key, cdf, train_ids, batch_size)
+            new_st, loss = step_fn(st, gather(data, ids, spec), axis_name=axis)
+            edges = jax.lax.psum(data.edge_count[ids].sum(), axis)
+            return new_st, (jax.lax.pmean(loss, axis), edges)
+
+        new_state, (losses, edges) = jax.lax.scan(
+            body, state, None, length=k
+        )
+        return new_state, losses, edges
+
+    sharded = shard_map(
+        per_device,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P()),
+        out_specs=(P(), P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(sharded, donate_argnums=(0,))
+
+
 def shard_train_step(train_step: Callable, mesh: Mesh, axis: str = "data"):
     """SPMD-wrap ``train_step(state, batch, axis_name=...) -> (state, loss)``.
 

@@ -111,11 +111,12 @@ class TrainConfig:
     # replacement, the reference's WeightedRandomSampler contract,
     # /root/reference/data.py:144-166) but a different (device) RNG stream.
     # Removes the per-step id H2D transfer, which is the entire remaining
-    # host dependency of the device-data loop — and on a degraded tunnel
-    # link (CLAUDE.md: ~30 ms/KB H2D) the difference between measuring the
-    # machine and measuring the link. Requires the single-device
-    # device-data path with oversample=True (shuffle-without-replacement
-    # epochs stay on the host sampler).
+    # host dependency of the device-data loop (measured +26% end-to-end on
+    # a degraded tunnel link, benchmarks/DEVSAMPLE_DEGRADED_AB.json).
+    # Works single-device and data-parallel (each chip draws its own ids,
+    # parallel/data_parallel.shard_sample_steps); requires the device-data
+    # path with oversample=True (shuffle-without-replacement epochs stay
+    # on the host sampler).
     device_sampling: bool = False
     # Preemption-safe training (framework extension; the reference has no
     # fault tolerance beyond crash-level retries, SURVEY §5): when set,
@@ -297,26 +298,7 @@ class Trainer:
                 self._train_step_ids = self._build_train_step_ids()
                 self._train_steps_scan = self._build_train_steps_scan()
                 if config.device_sampling:
-                    from molkgnn_tpu.data.dataset import oversampling_weights
-                    from molkgnn_tpu.graphs.device_pack import sampling_cdf
-
-                    if not config.oversample:
-                        raise ValueError(
-                            "device_sampling reproduces the oversampling "
-                            "(with-replacement) sampler; shuffle epochs "
-                            "stay on the host path"
-                        )
-                    if config.balanced_batches:
-                        raise ValueError(
-                            "device_sampling and balanced_batches are "
-                            "mutually exclusive (dealing is host-side)"
-                        )
-                    train_ids = np.asarray(dataset.split["train"], np.int32)
-                    labels = np.array([dataset.graphs[i].y for i in train_ids])
-                    self._sample_consts = (
-                        jnp.asarray(train_ids),
-                        jnp.asarray(sampling_cdf(oversampling_weights(labels))),
-                    )
+                    self._init_sample_consts()
                     self._sample_programs: Dict[int, Callable] = {}
             else:
                 # Device-resident DP: dataset replicated in every chip's
@@ -340,16 +322,13 @@ class Trainer:
                 self._train_steps_scan_dp = shard_scan_steps(
                     self._train_step_fn, gather_batch, spec, mesh
                 )
+                if config.device_sampling:
+                    self._init_sample_consts()
+                    self._sample_programs = {}
         if config.device_sampling and self._device_data is None:
             raise ValueError(
-                "device_sampling requires the single-device device-data "
-                "path (default collate, use_device_data=True, no mesh, "
-                "no model_parallel)"
-            )
-        if config.device_sampling and mesh is not None:
-            raise ValueError(
-                "device_sampling is single-device in this version; use the "
-                "host id sampler with the data-parallel mesh"
+                "device_sampling requires the device-data path (default "
+                "collate, use_device_data=True, no model_parallel)"
             )
 
     # ------------------------------------------------------------------
@@ -449,6 +428,38 @@ class Trainer:
     # collide with the dropout stream (which folds the bare step counter).
     _SAMPLE_SALT = 0x5A17
 
+    def _init_sample_consts(self):
+        """Device-resident sampler constants for config.device_sampling:
+        the train id vector and the inclusive oversampling cdf. Replicated
+        over the mesh when there is one."""
+        from molkgnn_tpu.data.dataset import oversampling_weights
+        from molkgnn_tpu.graphs.device_pack import sampling_cdf
+
+        if not self.config.oversample:
+            raise ValueError(
+                "device_sampling reproduces the oversampling "
+                "(with-replacement) sampler; shuffle epochs stay on the "
+                "host path"
+            )
+        if self.config.balanced_batches:
+            raise ValueError(
+                "device_sampling and balanced_batches are mutually "
+                "exclusive (dealing is host-side)"
+            )
+        train_ids = np.asarray(self.dataset.split["train"], np.int32)
+        labels = np.array([self.dataset.graphs[i].y for i in train_ids])
+        consts = (
+            jnp.asarray(train_ids),
+            jnp.asarray(sampling_cdf(oversampling_weights(labels))),
+        )
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            consts = jax.device_put(
+                consts, NamedSharding(self.mesh, PartitionSpec())
+            )
+        self._sample_consts = consts
+
     def _train_steps_sample(self, k: int) -> Callable:
         """K optimizer steps per dispatch with the ids SAMPLED ON DEVICE
         (config.device_sampling): the scan body draws [B] weighted ids from
@@ -465,6 +476,17 @@ class Trainer:
 
         spec, step_fn = self.spec, self._train_step_fn
         bs, salt = self.config.batch_size, self._SAMPLE_SALT
+
+        if self.mesh is not None:
+            # DP composition: every chip draws its own [B] ids per step
+            # (global batch ndev*B), pmeans grads (data_parallel.py).
+            from molkgnn_tpu.parallel.data_parallel import shard_sample_steps
+
+            prog = shard_sample_steps(
+                step_fn, gather_batch, spec, self.mesh, bs, k, salt
+            )
+            self._sample_programs[k] = prog
+            return prog
 
         def train_steps(state, data, train_ids, cdf):
             def body(st, _):
@@ -941,6 +963,25 @@ class Trainer:
                 for batch in prefetch_to_device(loader):
                     self.state, loss = self._train_step(self.state, batch)
                     losses.append(loss)
+            elif self._device_data is not None and cfg.device_sampling:
+                # Device-sampled DP: every chip draws its own ids per step
+                # (zero per-step host input at any device count); same
+                # optimizer-step budget as the host DP path (its trailing
+                # sub-ndev remainder is dropped there too).
+                tids, cdf = self._sample_consts
+                g = max(steps_per_epoch // ndev, 1)
+                k = max(cfg.scan_steps, 1)
+                nblocks, rem = divmod(g, k)
+                for _ in range(nblocks):
+                    self.state, loss_k, _ = self._train_steps_sample(k)(
+                        self.state, self._device_data, tids, cdf
+                    )
+                    losses.append(loss_k)
+                if rem:
+                    self.state, loss_r, _ = self._train_steps_sample(rem)(
+                        self.state, self._device_data, tids, cdf
+                    )
+                    losses.append(loss_r)
             elif self._device_data is not None:
                 # Device-resident DP: each optimizer step consumes ndev
                 # sub-batches of B ids (global batch = ndev*B, same

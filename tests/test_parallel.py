@@ -68,6 +68,42 @@ def test_dp_fit_epoch_runs_on_8_devices():
     assert np.isfinite(history[0]["train_loss"])
 
 
+def test_dp_device_sampling_fit_runs_and_is_deterministic():
+    """Device-sampled DP fit (zero per-step host input, each chip drawing
+    its own ids) runs on a 4-device mesh, advances the step counter by the
+    host DP path's optimizer-step budget, and reproduces per seed."""
+
+    def run():
+        ds = make_synthetic_dataset(seed=9, num_graphs=64, active_fraction=0.3)
+        spec = spec_for_graphs(ds.graphs, batch_size=4)
+        model = GNNModel(
+            encoder=MolKGNNNet(
+                num_layers=1,
+                kernels_1hop=(2, 3, 4, 5),
+                kernels_nhop=(2, 3, 4, 5),
+                graph_embedding_dim=8,
+            ),
+            ffn_dropout_rate=0.0,
+        )
+        cfg = TrainConfig(
+            batch_size=4, max_epochs=2, warmup_iterations=5,
+            oversample=True, device_sampling=True, scan_steps=2,
+            progress=False,
+        )
+        trainer = Trainer(model, ds, spec, cfg, mesh=make_mesh(4))
+        return trainer, trainer.fit()
+
+    t1, h1 = run()
+    # 51 train graphs / batch 4 -> 13 id-batches -> 13 // 4 devices = 3
+    # optimizer steps/epoch (host DP drops the remainder group too);
+    # scan_steps=2 -> one 2-block + one remainder-1 program.
+    steps_per_epoch = -(-len(t1.dataset.split["train"]) // 4) // 4
+    assert int(np.asarray(t1.state.step)) == 2 * steps_per_epoch
+    assert all(np.isfinite(h["train_loss"]) for h in h1)
+    t2, h2 = run()
+    assert [h["train_loss"] for h in h1] == [h["train_loss"] for h in h2]
+
+
 def test_dp_device_data_scan_matches_single_device_scan():
     """shard_scan_steps on 2 devices fed IDENTICAL ids per shard must equal
     the single-device scan path step-for-step (pmean of equal grads is a
