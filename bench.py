@@ -487,10 +487,18 @@ def main():
     # states; each row reports best + all windows + spread. The balanced-
     # batch question moved to benchmarks/compare_balanced.py (a dedicated
     # interleaved A/B; see benchmarks/BALANCED_AB.json).
-    while budget_left() > 60 and r1024 and len(r1024.windows) < 5:
+    # Gate on ANY surviving runner (ADVICE r3: keying the loop on r1024
+    # alone meant one failed row froze window accumulation for the rest).
+    survivors = [r for r in (r256, r1024, rs1024, r8192) if r]
+    while (
+        budget_left() > 60
+        and survivors
+        and min(len(r.windows) for r in survivors) < 5
+    ):
         if r256:
             rows["b256_fp32"] = r256.measure(repeats=1)
-        rows["b1024_bf16"] = r1024.measure(repeats=1)
+        if r1024:
+            rows["b1024_bf16"] = r1024.measure(repeats=1)
         if rs1024:
             rows["b1024_bf16_devsample"] = rs1024.measure(repeats=1)
         if r8192 is not None:

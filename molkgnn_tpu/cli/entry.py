@@ -271,6 +271,17 @@ def main(argv=None):
     if "--gnn_type" in argv:
         gnn_type = argv[argv.index("--gnn_type") + 1]
     args = build_parser(gnn_type).parse_args(argv)
+    if args.device_sampling and (
+        args.gnn_type != "kgnn" or args.model_parallel != "none"
+    ):
+        # Refuse rather than silently fall back to host sampling (ADVICE
+        # r3): a user must not believe they ran zero-host-input training
+        # when they did not.
+        raise SystemExit(
+            "--device_sampling is only supported with --gnn_type kgnn and"
+            f" --model_parallel none (got gnn_type={args.gnn_type},"
+            f" model_parallel={args.model_parallel})"
+        )
 
     from molkgnn_tpu.training import GNNModel, TrainConfig, Trainer
 
@@ -316,11 +327,7 @@ def main(argv=None):
         log_dir=log_dir,
         checkpoint_dir=os.path.join(args.default_root_dir, "checkpoints"),
         balanced_batches=balanced,
-        device_sampling=(
-            args.device_sampling
-            and args.gnn_type == "kgnn"
-            and args.model_parallel == "none"
-        ),
+        device_sampling=args.device_sampling,
         autosave_path=(
             os.path.join(args.default_root_dir, "autosave")
             if args.autosave

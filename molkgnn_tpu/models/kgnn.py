@@ -276,7 +276,8 @@ class KernelSetConv(nn.Module):
     pos_dim: int = 3
     # Edge-partition parallelism: when set, degree-bucket rows are sharded
     # across this mesh axis and the per-degree blocks are psum-combined
-    # (parallel/edge_partition.py).
+    # (parallel/edge_partition.py — deprecated baseline; prefer the halo
+    # partition, parallel/halo.py, which does not use this hook).
     psum_axis: str | None = None
     use_pallas: bool = False
     matmul_dtype: str | None = None

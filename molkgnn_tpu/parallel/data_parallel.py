@@ -10,8 +10,9 @@ the per-device train step runs under shard_map, and gradients sync with
 Replicated state (params/opt state) + batch-sharded data is the right regime
 for MolKGNN's model sizes (~10^5-10^6 params): the all-reduce is tiny
 relative to the kernel-score matmuls, so scaling is near-linear until the
-per-chip batch becomes MXU-starved. Edge-partitioned graph parallelism for
-giant batched graphs lives in parallel/edge_partition.py.
+per-chip batch becomes MXU-starved. Model parallelism for giant batched
+graphs lives in parallel/halo.py (node-sharded halo exchange) and
+parallel/hybrid.py (2D data x model).
 """
 
 from __future__ import annotations
@@ -100,13 +101,13 @@ def shard_sample_steps(
     oversampling distribution — the same distribution the host DP sampler
     feeds shard_scan_steps, different RNG stream.
 
-    Returns a jitted ``fn(state, device_data, train_ids, cdf) ->
+    Returns a jitted ``fn(state, device_data, train_ids, table) ->
     (state, loss[K], edges[K])`` with replicated outputs; ``edges`` are
     the per-step GLOBAL true-edge counts (psum) for throughput accounting.
     """
     from molkgnn_tpu.graphs.device_pack import sample_ids
 
-    def per_device(state, data, train_ids, cdf):
+    def per_device(state, data, train_ids, table):
         me = jax.lax.axis_index(axis)
 
         def body(st, _):
@@ -114,7 +115,7 @@ def shard_sample_steps(
                 jax.random.fold_in(jax.random.fold_in(st.rng, st.step), salt),
                 me,
             )
-            ids = sample_ids(key, cdf, train_ids, batch_size)
+            ids = sample_ids(key, table, train_ids, batch_size)
             new_st, loss = step_fn(st, gather(data, ids, spec), axis_name=axis)
             edges = jax.lax.psum(data.edge_count[ids].sum(), axis)
             return new_st, (jax.lax.pmean(loss, axis), edges)

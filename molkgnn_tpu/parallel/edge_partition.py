@@ -14,14 +14,15 @@ right trade once per-chip FLOPs, not bytes, bound the step (the data-
 parallel path in data_parallel.py remains the default regime for QSAR-size
 molecules). Node-sharded halo exchange is the next rung on this ladder.
 
-Scope (r3): this module is deliberately EVAL-ONLY — it is the simplest
-model-parallel forward (replicate nodes, psum everything) and serves as
-the readable baseline the halo design is measured against. TRAINING
-through a model-parallel partition lives in parallel/halo.py
-(halo_train_step) and parallel/hybrid.py (2D data x model), both
-grad-parity-tested; a train step here would duplicate that capability
-with strictly worse communication scaling ([N, sum(L)] psums vs
-cut-sized exchanges).
+DEPRECATED (r4): use parallel/halo.py. The halo-exchange partition
+supersedes this design on every axis — it trains (halo_train_step, grad-
+parity-tested), is a Trainer/CLI path, and moves cut-sized exchanges
+instead of psumming [N, sum(L)] activations twice per layer (bytes here
+scale with the whole graph, there with the partition boundary). This
+module stays only as the readable model-parallel baseline the halo
+design is measured against; it is eval-only, not exported from
+``molkgnn_tpu.parallel``, no longer part of the driver dry run, and
+importing it warns. It will not grow a train step.
 
 Numerical note: results match the single-device forward except where
 permutation scores tie EXACTLY (bitwise-equal neighbor features, e.g.
@@ -33,6 +34,7 @@ batch-shape change has, in the reference as much as here.
 from __future__ import annotations
 
 import dataclasses
+import warnings
 from typing import Sequence
 
 import jax
@@ -41,6 +43,15 @@ from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
 from molkgnn_tpu.graphs.batch import BatchSpec, DegreeBucket, GraphBatch
+
+warnings.warn(
+    "molkgnn_tpu.parallel.edge_partition is deprecated: the halo-exchange"
+    " partition (molkgnn_tpu.parallel.halo) supersedes it — it trains, is"
+    " a Trainer/CLI path, and has strictly better communication scaling."
+    " This module remains as an eval-only baseline.",
+    DeprecationWarning,
+    stacklevel=2,
+)
 
 
 def _shard_rows(arrays, mask, n_shards):

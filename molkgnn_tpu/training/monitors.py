@@ -66,12 +66,47 @@ def throughput_sink(edges_per_epoch: int) -> Callable:
     return sink
 
 
+class RelayBackendError(RuntimeError):
+    """Raised when an operation is unsafe on a tunneled/relay TPU backend."""
+
+
+def _is_relay_backend() -> bool:
+    """True when the active JAX backend reaches the TPU through a relay
+    (the 'axon' experimental platform). ``jax.profiler.start_trace`` HANGS
+    on that backend and — because the TPU grant is single-tenant — the
+    hung process wedges the chip for every later process (measured:
+    recovery took a 10-minute no-probe quiet period after hours of
+    degraded service). Detected from the live backend, not env vars, so
+    in-process platform overrides are respected."""
+    try:
+        import jax
+
+        return jax.default_backend().lower() in ("axon",)
+    except Exception:  # noqa: BLE001 — no jax, no relay
+        return False
+
+
 @contextlib.contextmanager
-def profiler_trace(log_dir: str, enabled: bool = True):
-    """jax.profiler trace region (view with TensorBoard's profile plugin)."""
+def profiler_trace(log_dir: str, enabled: bool = True, force: bool = False):
+    """jax.profiler trace region (view with TensorBoard's profile plugin).
+
+    Refuses to start on a relay-tunneled backend (see
+    :func:`_is_relay_backend`) unless ``force=True``: the trace hangs
+    there and wedges the single-tenant TPU grant for hours. For
+    schedule/overlap evidence on this environment, inspect compiled HLO
+    on the CPU backend instead (benchmarks/profile_halo.py pattern).
+    """
     if not enabled:
         yield
         return
+    if _is_relay_backend() and not force:
+        raise RelayBackendError(
+            "profiler_trace refused: jax.profiler.start_trace hangs on the"
+            " relay ('axon') TPU backend and wedges the single-tenant grant."
+            " Profile on the CPU backend (JAX_PLATFORMS=cpu) or inspect"
+            " compiled HLO (benchmarks/profile_halo.py); pass force=True"
+            " only if you accept losing the chip."
+        )
     import jax
 
     os.makedirs(log_dir, exist_ok=True)

@@ -104,7 +104,8 @@ class TrainConfig:
     scan_steps: int = 1
     # Sample the training ids ON DEVICE (graphs/device_pack.sample_ids):
     # each fused step draws its [B] ids from the oversampling distribution
-    # with the train RNG (inverse-CDF over a device-resident cdf), so a
+    # with the train RNG (alias-method draw over a device-resident
+    # table), so a
     # training dispatch consumes NO per-step host input at all — the whole
     # epoch runs from HBM and only the per-epoch loss vector comes back.
     # Same sampler semantics as the host path (i.i.d. weighted draws with
@@ -430,10 +431,10 @@ class Trainer:
 
     def _init_sample_consts(self):
         """Device-resident sampler constants for config.device_sampling:
-        the train id vector and the inclusive oversampling cdf. Replicated
+        the train id vector and the oversampling alias table. Replicated
         over the mesh when there is one."""
         from molkgnn_tpu.data.dataset import oversampling_weights
-        from molkgnn_tpu.graphs.device_pack import sampling_cdf
+        from molkgnn_tpu.graphs.device_pack import alias_sampler
 
         if not self.config.oversample:
             raise ValueError(
@@ -450,7 +451,9 @@ class Trainer:
         labels = np.array([self.dataset.graphs[i].y for i in train_ids])
         consts = (
             jnp.asarray(train_ids),
-            jnp.asarray(sampling_cdf(oversampling_weights(labels))),
+            jax.tree.map(
+                jnp.asarray, alias_sampler(oversampling_weights(labels))
+            ),
         )
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec
@@ -463,7 +466,7 @@ class Trainer:
     def _train_steps_sample(self, k: int) -> Callable:
         """K optimizer steps per dispatch with the ids SAMPLED ON DEVICE
         (config.device_sampling): the scan body draws [B] weighted ids from
-        the device-resident train cdf with a per-step key folded from the
+        the device-resident alias table with a per-step key folded from the
         state RNG, assembles the batch from HBM, and steps the optimizer —
         zero per-step host input. Returns (state, losses [K], edges [K]);
         the per-step true-edge counts make throughput accounting possible
@@ -488,12 +491,12 @@ class Trainer:
             self._sample_programs[k] = prog
             return prog
 
-        def train_steps(state, data, train_ids, cdf):
+        def train_steps(state, data, train_ids, table):
             def body(st, _):
                 key = jax.random.fold_in(
                     jax.random.fold_in(st.rng, st.step), salt
                 )
-                ids = sample_ids(key, cdf, train_ids, bs)
+                ids = sample_ids(key, table, train_ids, bs)
                 new_st, loss = step_fn(st, gather_batch(data, ids, spec))
                 return new_st, (loss, data.edge_count[ids].sum())
 
@@ -919,21 +922,23 @@ class Trainer:
                         group = []
             elif self.mesh is None and self._device_data is not None:
                 if cfg.device_sampling:
-                    # Zero-host-input epoch: steps_per_epoch weighted draws
-                    # happen on device (same epoch length as the host
-                    # sampler); only the loss vectors come back.
-                    tids, cdf = self._sample_consts
+                    # Zero-host-input epoch: same OPTIMIZER-STEP budget
+                    # as the host sampler; the remainder block is a full
+                    # unmasked batch, so up to B-1 extra i.i.d. draws per
+                    # epoch (distribution unchanged). Only the loss
+                    # vectors come back.
+                    tids, table = self._sample_consts
                     k = max(cfg.scan_steps, 1)
                     nblocks, rem = divmod(steps_per_epoch, k)
                     for _ in range(nblocks):
                         self.state, loss_k, _ = self._train_steps_sample(k)(
-                            self.state, self._device_data, tids, cdf
+                            self.state, self._device_data, tids, table
                         )
                         losses.append(loss_k)
                     if rem:
                         self.state, loss_r, _ = self._train_steps_sample(
                             rem
-                        )(self.state, self._device_data, tids, cdf)
+                        )(self.state, self._device_data, tids, table)
                         losses.append(loss_r)
                 elif cfg.scan_steps > 1:
                     blocks = np.stack(list(self._epoch_id_batches(cfg)))
@@ -968,18 +973,18 @@ class Trainer:
                 # (zero per-step host input at any device count); same
                 # optimizer-step budget as the host DP path (its trailing
                 # sub-ndev remainder is dropped there too).
-                tids, cdf = self._sample_consts
+                tids, table = self._sample_consts
                 g = max(steps_per_epoch // ndev, 1)
                 k = max(cfg.scan_steps, 1)
                 nblocks, rem = divmod(g, k)
                 for _ in range(nblocks):
                     self.state, loss_k, _ = self._train_steps_sample(k)(
-                        self.state, self._device_data, tids, cdf
+                        self.state, self._device_data, tids, table
                     )
                     losses.append(loss_k)
                 if rem:
                     self.state, loss_r, _ = self._train_steps_sample(rem)(
-                        self.state, self._device_data, tids, cdf
+                        self.state, self._device_data, tids, table
                     )
                     losses.append(loss_r)
             elif self._device_data is not None:

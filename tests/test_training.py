@@ -193,18 +193,20 @@ def test_device_sample_ids_distribution_and_range():
     import jax
     import jax.numpy as jnp
 
-    from molkgnn_tpu.graphs.device_pack import sample_ids, sampling_cdf
+    from molkgnn_tpu.graphs.device_pack import alias_sampler, sample_ids
 
     labels = np.zeros(200)
     labels[:20] = 1.0  # 10% actives
     train_ids = np.arange(100, 300, dtype=np.int32)  # global ids offset
-    cdf = jnp.asarray(sampling_cdf(oversampling_weights(labels)))
+    table = jax.tree.map(
+        jnp.asarray, alias_sampler(oversampling_weights(labels))
+    )
     tids = jnp.asarray(train_ids)
     draws = []
     for i in range(40):
         ids = np.asarray(
             jax.jit(sample_ids, static_argnums=3)(
-                jax.random.fold_in(jax.random.key(7), i), cdf, tids, 256
+                jax.random.fold_in(jax.random.key(7), i), table, tids, 256
             )
         )
         draws.append(ids)
@@ -213,9 +215,42 @@ def test_device_sample_ids_distribution_and_range():
     active_frac = (ids < 120).mean()  # global ids 100..119 are the actives
     assert abs(active_frac - 0.5) < 0.02  # 10240 draws; 3 sigma ~ 0.015
     # Determinism: same key -> same ids.
-    a = sample_ids(jax.random.key(3), cdf, tids, 64)
-    b = sample_ids(jax.random.key(3), cdf, tids, 64)
+    a = sample_ids(jax.random.key(3), table, tids, 64)
+    b = sample_ids(jax.random.key(3), table, tids, 64)
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_alias_sampler_exact_and_large_n():
+    """The alias table encodes the normalized weights EXACTLY (per-bucket
+    expected mass = (1 + sum of incoming alias residuals) / n), with no
+    large-n degradation — the failure mode of a float32 inverse-cdf, where
+    positions near 1.0 collapse to zero probability once n ~ 1/eps(f32)
+    (ADVICE r3)."""
+    from molkgnn_tpu.graphs.device_pack import alias_sampler
+
+    rng = np.random.default_rng(0)
+    w = rng.random(997) + 1e-3
+    t = alias_sampler(w)
+    # Reconstruct each bucket's total mass from the table in f64.
+    mass = np.asarray(t.prob, np.float64).copy()
+    np.add.at(mass, t.alias, 1.0 - np.asarray(t.prob, np.float64))
+    np.testing.assert_allclose(
+        mass / mass.sum(), w / w.sum(), rtol=1e-6, atol=1e-9
+    )
+    # Large n: every bucket keeps nonzero mass (uniform weights, n >> the
+    # f32-cdf collapse threshold regime scaled down is meaningless — use
+    # 2e6 directly; builds in ~1 s).
+    n = 2_000_000
+    t = alias_sampler(np.ones(n))
+    assert np.asarray(t.prob).min() > 0.99  # uniform => all ~1.0 exactly
+    w2 = np.ones(n)
+    w2[: n // 2] = 1e-3
+    t2 = alias_sampler(w2)
+    mass2 = np.asarray(t2.prob, np.float64).copy()
+    np.add.at(mass2, t2.alias, 1.0 - np.asarray(t2.prob, np.float64))
+    frac_small = mass2[: n // 2].sum() / mass2.sum()
+    expect = (n // 2 * 1e-3) / (n // 2 * 1e-3 + n // 2)
+    np.testing.assert_allclose(frac_small, expect, rtol=1e-5)
 
 
 def test_device_sampling_fit_runs_and_steps_exactly(tmp_path):
@@ -430,3 +465,23 @@ def test_fit_sigterm_finishes_epoch_autosaves_and_resumes(tmp_path):
     t2 = _preempt_trainer(tmp_path, max_epochs=5, sub="logs2")
     h2 = t2.fit()
     assert [e["epoch"] for e in h2] == [0, 1, 2, 3, 4]
+
+
+def test_profiler_trace_refuses_relay_backend(tmp_path, monkeypatch):
+    """profiler_trace must refuse to start on the relay ('axon') backend:
+    jax.profiler.start_trace hangs there and wedges the single-tenant TPU
+    grant (measured; CLAUDE.md). force=True overrides."""
+    from molkgnn_tpu.training import monitors as M
+
+    monkeypatch.setattr(M, "_is_relay_backend", lambda: True)
+    with pytest.raises(M.RelayBackendError, match="relay"):
+        with M.profiler_trace(str(tmp_path / "tb")):
+            pass
+    # enabled=False never touches the backend at all.
+    with M.profiler_trace(str(tmp_path / "tb"), enabled=False):
+        pass
+    # On a non-relay backend (this suite pins CPU) the trace runs.
+    monkeypatch.setattr(M, "_is_relay_backend", lambda: False)
+    with M.profiler_trace(str(tmp_path / "tb")):
+        pass
+    assert any((tmp_path / "tb").iterdir())
