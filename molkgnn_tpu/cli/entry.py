@@ -271,16 +271,14 @@ def main(argv=None):
     if "--gnn_type" in argv:
         gnn_type = argv[argv.index("--gnn_type") + 1]
     args = build_parser(gnn_type).parse_args(argv)
-    if args.device_sampling and (
-        args.gnn_type != "kgnn" or args.model_parallel != "none"
-    ):
+    if args.device_sampling and args.gnn_type != "kgnn":
         # Refuse rather than silently fall back to host sampling (ADVICE
         # r3): a user must not believe they ran zero-host-input training
-        # when they did not.
+        # when they did not. All model_parallel modes support it (r4:
+        # halo_sample_steps / hybrid_sample_steps).
         raise SystemExit(
-            "--device_sampling is only supported with --gnn_type kgnn and"
-            f" --model_parallel none (got gnn_type={args.gnn_type},"
-            f" model_parallel={args.model_parallel})"
+            "--device_sampling is only supported with --gnn_type kgnn"
+            f" (got gnn_type={args.gnn_type})"
         )
 
     from molkgnn_tpu.training import GNNModel, TrainConfig, Trainer

@@ -133,6 +133,22 @@ def gather_batch(
     buckets = []
     for d in range(MAX_DEGREE):
         cap = spec.deg_capacity[d]
+        fe = data.deg_ea[d].shape[-1]
+        if data.deg_focal[d].shape[0] == 0:
+            # No degree-(d+1) entries anywhere in the dataset (e.g. chain
+            # molecules have no deg-3/4 atoms): a gather from the empty
+            # flat array is invalid even fully masked, so emit the all-
+            # masked bucket directly (static decision — dataset shapes are
+            # trace-time constants).
+            buckets.append(
+                DegreeBucket(
+                    focal_index=jnp.zeros((cap,), jnp.int32),
+                    nei_index=jnp.zeros((cap, d + 1), jnp.int32),
+                    nei_edge_attr=jnp.zeros((cap, d + 1, fe), jnp.float32),
+                    mask=jnp.zeros((cap,), bool),
+                )
+            )
+            continue
         dlens = jnp.where(valid, data.deg_count[d][ids_c], 0)
         dsrc, dgop, dmask = _ranged_gather(
             ids_c, dlens, data.deg_start[d], cap

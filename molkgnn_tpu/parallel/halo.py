@@ -592,6 +592,61 @@ def halo_eval_step(model, mesh: Mesh, axis: str = "data"):
     return jax.jit(fn)
 
 
+def _halo_update(
+    model, encoder, tx, loss_fn, axis, ndev, state, hb, edge_bn_axis=None
+):
+    """Per-device halo train-step body: ``(state, per-device HaloBatch) ->
+    (state, loss)``. Shared by ``halo_train_step`` (host-partitioned
+    batches, edge_attr replicated so local edge stats are already global)
+    and ``halo_sample_steps`` (device-assembled shards each owning their
+    OWN edges, so ``edge_bn_axis=axis`` psums the dead edge-BN stats)."""
+    rng = jax.random.fold_in(state.rng, state.step)
+    rng_enc, rng_ffn = jax.random.split(rng)
+
+    def losses(params):
+        pooled, enc_stats = _encoder_forward(
+            encoder,
+            params["encoder"],
+            state.batch_stats["encoder"],
+            hb,
+            axis,
+            ndev,
+            train=True,
+            dropout_rng=rng_enc,
+            edge_bn_axis=edge_bn_axis,
+        )
+        h = _dropout(rng_ffn, pooled, model.ffn_dropout_rate)
+        logits = TorchLinear(model.task_dim).apply(
+            {"params": params["ffn"]}, h
+        )[..., 0]
+        loss = loss_fn(logits, hb.y, hb.graph_mask)
+        return loss, {"encoder": enc_stats}
+
+    (loss, new_stats), grads = jax.value_and_grad(losses, has_aux=True)(
+        state.params
+    )
+    # Cross-shard grad reduction — ONE pmean, by the psum-transpose
+    # accounting: psum's transpose is psum, so differentiating through
+    # the in-forward psum(pooled) hands every shard a cotangent already
+    # scaled by ndev; each shard's encoder grad is therefore
+    # ndev * (its partial), and pmean(ndev * partial_s) = sum_s
+    # partial_s = the exact full gradient. The ffn head runs after the
+    # psum on the replicated embedding, so its per-shard grads are
+    # identical full copies — pmean is the identity on them. (Verified
+    # numerically in tests/test_parallel.py; a naive psum here
+    # over-counts by ndev.)
+    grads = jax.lax.pmean(grads, axis)
+    up, opt_state = tx.update(grads, state.opt_state, state.params)
+    params = optax.apply_updates(state.params, up)
+    new_state = state.replace(
+        step=state.step + 1,
+        params=params,
+        batch_stats=new_stats,
+        opt_state=opt_state,
+    )
+    return new_state, loss
+
+
 def halo_train_step(
     model,  # GNNModel wrapper (encoder=MolKGNNNet)
     tx,
@@ -606,64 +661,155 @@ def halo_train_step(
     train-mode BN (global psum'd stats), forward, loss on the replicated
     pooled logits, backward THROUGH both all_to_all exchanges per layer
     (their transposes are the reverse collectives), cross-shard grad
-    reduction (one pmean — see the in-body psum-transpose note), AdamW+
-    schedule update. State stays replicated.
+    reduction (one pmean — see the psum-transpose note in _halo_update),
+    AdamW+schedule update. State stays replicated.
     """
     ndev = int(mesh.shape[axis])
     encoder: MolKGNNNet = model.encoder
 
     def per_device(state, hb):
         hb = jax.tree.map(lambda a: a[0], hb)
-        rng = jax.random.fold_in(state.rng, state.step)
-        rng_enc, rng_ffn = jax.random.split(rng)
-
-        def losses(params):
-            pooled, enc_stats = _encoder_forward(
-                encoder,
-                params["encoder"],
-                state.batch_stats["encoder"],
-                hb,
-                axis,
-                ndev,
-                train=True,
-                dropout_rng=rng_enc,
-            )
-            h = _dropout(rng_ffn, pooled, model.ffn_dropout_rate)
-            logits = TorchLinear(model.task_dim).apply(
-                {"params": params["ffn"]}, h
-            )[..., 0]
-            loss = loss_fn(logits, hb.y, hb.graph_mask)
-            return loss, {"encoder": enc_stats}
-
-        (loss, new_stats), grads = jax.value_and_grad(
-            losses, has_aux=True
-        )(state.params)
-        # Cross-shard grad reduction — ONE pmean, by the psum-transpose
-        # accounting: psum's transpose is psum, so differentiating through
-        # the in-forward psum(pooled) hands every shard a cotangent already
-        # scaled by ndev; each shard's encoder grad is therefore
-        # ndev * (its partial), and pmean(ndev * partial_s) = sum_s
-        # partial_s = the exact full gradient. The ffn head runs after the
-        # psum on the replicated embedding, so its per-shard grads are
-        # identical full copies — pmean is the identity on them. (Verified
-        # numerically in tests/test_parallel.py; a naive psum here
-        # over-counts by ndev.)
-        grads = jax.lax.pmean(grads, axis)
-        up, opt_state = tx.update(grads, state.opt_state, state.params)
-        params = optax.apply_updates(state.params, up)
-        new_state = state.replace(
-            step=state.step + 1,
-            params=params,
-            batch_stats=new_stats,
-            opt_state=opt_state,
+        return _halo_update(
+            model, encoder, tx, loss_fn, axis, ndev, state, hb
         )
-        return new_state, loss
 
     fn = shard_map(
         per_device,
         mesh=mesh,
         in_specs=(P(), P(axis)),
         out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(fn, donate_argnums=(0,))
+
+
+# ------------------------------------------------- device-resident feeding
+
+
+def _local_halo(local, ndev: int, shard_graph_offset, axis: str, hp: int = 1):
+    """Molecule-aligned per-device HaloBatch from an on-device sub-batch.
+
+    Whole molecules never share edges, so a partition that assigns whole
+    graphs to shards has an EMPTY cut: every edge and degree-bucket row is
+    shard-local, the halo exchange degenerates to [ndev, hp=1] masked-out
+    placeholder rows, and the encoder math (global psum'd BN statistics,
+    psum'd pooling, loss on the global batch) is bit-compatible with the
+    generic halo partition at cut size zero. ``local`` is the shard's own
+    padded GraphBatch (assembled on device by graphs/device_pack.
+    gather_batch); ``shard_graph_offset`` maps its local graph ids into
+    the global [batch] coordinate space; ``y``/``graph_mask`` are
+    all-gathered over ``axis`` into the global vectors the replicated
+    loss expects.
+    """
+    ns = local.x.shape[0]
+    gy = jax.lax.all_gather(local.y, axis)  # [ndev, Bs]
+    gmask = jax.lax.all_gather(local.graph_mask, axis)
+    eh = 8  # static placeholder halo-edge capacity (all masked out)
+    return HaloBatch(
+        x_ext=jnp.concatenate(
+            [local.x, jnp.zeros((ndev * hp, local.x.shape[1]), local.x.dtype)]
+        ),
+        p_ext=jnp.concatenate(
+            [local.p, jnp.zeros((ndev * hp, local.p.shape[1]), local.p.dtype)]
+        ),
+        node_mask=local.node_mask,
+        node_graph_id=(
+            local.node_graph_id + jnp.int32(shard_graph_offset)
+        ).astype(jnp.int32),
+        send_ids=jnp.zeros((ndev, hp), jnp.int32),
+        edge_src_local=local.edge_src,
+        edge_dst_local=local.edge_dst,
+        edge_mask_local=local.edge_mask,
+        edge_src_halo=jnp.zeros((eh,), jnp.int32),
+        edge_dst_halo=jnp.zeros((eh,), jnp.int32),
+        edge_mask_halo=jnp.zeros((eh,), bool),
+        deg1=local.deg1,
+        deg2=local.deg2,
+        deg3=local.deg3,
+        deg4=local.deg4,
+        y=gy.reshape(-1),
+        graph_mask=gmask.reshape(-1),
+        edge_attr=local.edge_attr,
+        edge_attr_mask=local.edge_mask,
+    )
+
+
+def halo_sample_steps(
+    model,  # GNNModel wrapper (encoder=MolKGNNNet)
+    tx,
+    mesh: Mesh,
+    shard_spec,
+    batch_size: int,
+    k: int,
+    salt: int,
+    axis: str = "data",
+    loss_fn=bce_with_logits_loss,
+):
+    """K halo-partitioned optimizer steps per dispatch with ZERO per-step
+    host input (VERDICT r3 item 2: the host-fed halo path pays loader
+    collation + numpy partition + a full HaloBatch H2D every step).
+
+    Per scanned step, every shard derives the SAME per-step key
+    (fold_in(rng, step) -> salt — identical to the single-device
+    device-sampling stream, trainer._train_steps_sample), draws the SAME
+    global [batch_size] weighted ids, slices its own ``batch_size/ndev``
+    molecules, assembles its padded sub-batch from the replicated
+    HBM-resident DeviceDataset (graphs/device_pack.gather_batch), wraps it
+    as a molecule-aligned empty-cut HaloBatch (``_local_halo``), and runs
+    the exact halo train-step body (``_halo_update`` — global psum'd BN,
+    grads, pmean, AdamW). The sampled global batch is therefore IDENTICAL
+    to the single-device device-sampling path's (same key structure), and
+    the update matches it to fp tolerance — asserted in
+    tests/test_parallel.py.
+
+    Returns a jitted ``fn(state, device_data, train_ids, table) ->
+    (state, loss[K], edges[K])`` with replicated outputs; ``edges`` are
+    per-step global true-edge counts (psum) for throughput accounting.
+    """
+    from molkgnn_tpu.graphs.device_pack import gather_batch, sample_ids
+
+    ndev = int(mesh.shape[axis])
+    if batch_size % ndev:
+        raise ValueError(
+            f"halo_sample_steps: batch_size {batch_size} not divisible by"
+            f" {ndev} shards"
+        )
+    bs_shard = batch_size // ndev
+    if shard_spec.num_graphs != bs_shard:
+        raise ValueError(
+            f"shard_spec.num_graphs={shard_spec.num_graphs} != "
+            f"batch_size/ndev={bs_shard}"
+        )
+    encoder: MolKGNNNet = model.encoder
+
+    def per_device(state, data, train_ids, table):
+        me = jax.lax.axis_index(axis)
+
+        def body(st, _):
+            key = jax.random.fold_in(
+                jax.random.fold_in(st.rng, st.step), salt
+            )
+            ids = sample_ids(key, table, train_ids, batch_size)
+            mine = jax.lax.dynamic_slice(ids, (me * bs_shard,), (bs_shard,))
+            local = gather_batch(data, mine, shard_spec)
+            hb = _local_halo(local, ndev, me * bs_shard, axis)
+            new_st, loss = _halo_update(
+                model, encoder, tx, loss_fn, axis, ndev, st, hb,
+                edge_bn_axis=axis,
+            )
+            edges = jax.lax.psum(data.edge_count[mine].sum(), axis)
+            return new_st, (loss, edges)
+
+        new_state, (losses, edges) = jax.lax.scan(
+            body, state, None, length=k
+        )
+        return new_state, losses, edges
+
+    fn = shard_map(
+        per_device,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P()),
+        out_specs=(P(), P(), P()),
         check_vma=False,
     )
     return jax.jit(fn, donate_argnums=(0,))

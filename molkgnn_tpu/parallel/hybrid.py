@@ -54,6 +54,7 @@ from molkgnn_tpu.parallel.halo import (
     HaloBatch,
     _dropout,
     _encoder_forward,
+    _local_halo,
     partition_halo,
 )
 from molkgnn_tpu.training.model import bce_with_logits_loss
@@ -194,69 +195,164 @@ def hybrid_train_step(
 
     def per_device(state, hb):
         hb = jax.tree.map(lambda a: a[0, 0], hb)
-        rng = jax.random.fold_in(state.rng, state.step)
-        rng_enc, rng_ffn = jax.random.split(rng)
-        # Decorrelate dropout across data groups (halo._encoder_forward
-        # already folds in the model-axis index).
-        rng_enc = jax.random.fold_in(
-            rng_enc, jax.lax.axis_index(data_axis)
+        return _hybrid_update(
+            model, encoder, tx, loss_fn, data_axis, model_axis, ndev_m,
+            state, hb, edge_bn_axis=data_axis,
         )
-        rng_ffn = jax.random.fold_in(
-            rng_ffn, jax.lax.axis_index(data_axis)
-        )
-
-        def losses(params):
-            pooled, enc_stats = _encoder_forward(
-                encoder,
-                params["encoder"],
-                state.batch_stats["encoder"],
-                hb,
-                model_axis,
-                ndev_m,
-                train=True,
-                dropout_rng=rng_enc,
-                bn_axis=(data_axis, model_axis),
-                edge_bn_axis=data_axis,
-            )
-            h = _dropout(rng_ffn, pooled, model.ffn_dropout_rate)
-            logits = TorchLinear(model.task_dim).apply(
-                {"params": params["ffn"]}, h
-            )[..., 0]
-            # Global masked mean: this group's masked SUM over the global
-            # real-graph count (count psum has no parameter dependence, so
-            # no gradient flows through it).
-            cnt = jnp.sum(hb.graph_mask.astype(logits.dtype))
-            total = jnp.maximum(jax.lax.psum(cnt, data_axis), 1.0)
-            contrib = loss_fn(logits, hb.y, hb.graph_mask) * cnt / total
-            return contrib, {"encoder": enc_stats}
-
-        (contrib, new_stats), grads = jax.value_and_grad(
-            losses, has_aux=True
-        )(state.params)
-        # pmean over model recovers each group's exact gradient (halo.py's
-        # psum-transpose rule); groups then SUM into the global-mean
-        # objective's gradient.
-        grads = jax.lax.psum(
-            jax.lax.pmean(grads, model_axis), data_axis
-        )
-        loss = jax.lax.psum(contrib, data_axis)
-        # BN stats were psum'd over both axes in-forward: already global
-        # and identical on every device.
-        up, opt_state = tx.update(grads, state.opt_state, state.params)
-        params = optax.apply_updates(state.params, up)
-        new_state = state.replace(
-            step=state.step + 1,
-            params=params,
-            batch_stats=new_stats,
-            opt_state=opt_state,
-        )
-        return new_state, loss
 
     fn = shard_map(
         per_device,
         mesh=mesh,
         in_specs=(P(), P(data_axis, model_axis)),
         out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(fn, donate_argnums=(0,))
+
+
+def _hybrid_update(
+    model, encoder, tx, loss_fn, data_axis, model_axis, ndev_m, state, hb,
+    edge_bn_axis,
+):
+    """Per-device hybrid train-step body: ``(state, per-device HaloBatch)
+    -> (state, loss)``. Shared by ``hybrid_train_step`` (host-partitioned;
+    edge_attr replicated within a model row so edge stats psum over data
+    only) and ``hybrid_sample_steps`` (device-assembled; every device owns
+    distinct edges so edge stats psum over BOTH axes)."""
+    rng = jax.random.fold_in(state.rng, state.step)
+    rng_enc, rng_ffn = jax.random.split(rng)
+    # Decorrelate dropout across data groups (halo._encoder_forward
+    # already folds in the model-axis index).
+    rng_enc = jax.random.fold_in(rng_enc, jax.lax.axis_index(data_axis))
+    rng_ffn = jax.random.fold_in(rng_ffn, jax.lax.axis_index(data_axis))
+
+    def losses(params):
+        pooled, enc_stats = _encoder_forward(
+            encoder,
+            params["encoder"],
+            state.batch_stats["encoder"],
+            hb,
+            model_axis,
+            ndev_m,
+            train=True,
+            dropout_rng=rng_enc,
+            bn_axis=(data_axis, model_axis),
+            edge_bn_axis=edge_bn_axis,
+        )
+        h = _dropout(rng_ffn, pooled, model.ffn_dropout_rate)
+        logits = TorchLinear(model.task_dim).apply(
+            {"params": params["ffn"]}, h
+        )[..., 0]
+        # Global masked mean: this group's masked SUM over the global
+        # real-graph count (count psum has no parameter dependence, so
+        # no gradient flows through it).
+        cnt = jnp.sum(hb.graph_mask.astype(logits.dtype))
+        total = jnp.maximum(jax.lax.psum(cnt, data_axis), 1.0)
+        contrib = loss_fn(logits, hb.y, hb.graph_mask) * cnt / total
+        return contrib, {"encoder": enc_stats}
+
+    (contrib, new_stats), grads = jax.value_and_grad(
+        losses, has_aux=True
+    )(state.params)
+    # pmean over model recovers each group's exact gradient (halo.py's
+    # psum-transpose rule); groups then SUM into the global-mean
+    # objective's gradient.
+    grads = jax.lax.psum(jax.lax.pmean(grads, model_axis), data_axis)
+    loss = jax.lax.psum(contrib, data_axis)
+    # BN stats were psum'd over both axes in-forward: already global
+    # and identical on every device.
+    up, opt_state = tx.update(grads, state.opt_state, state.params)
+    params = optax.apply_updates(state.params, up)
+    new_state = state.replace(
+        step=state.step + 1,
+        params=params,
+        batch_stats=new_stats,
+        opt_state=opt_state,
+    )
+    return new_state, loss
+
+
+def hybrid_sample_steps(
+    model,  # GNNModel wrapper (encoder=MolKGNNNet)
+    tx,
+    mesh: Mesh,
+    shard_spec,
+    batch_size: int,
+    k: int,
+    salt: int,
+    data_axis: str = "data",
+    model_axis: str = "model",
+    loss_fn=bce_with_logits_loss,
+):
+    """K hybrid (data x model) optimizer steps per dispatch with ZERO
+    per-step host input — the 2D twin of halo.halo_sample_steps.
+
+    Per scanned step each data group draws its OWN [batch_size] weighted
+    ids (per-step key = fold_in(rng, step) -> salt -> data index, so the
+    nm devices of a model row agree on their group's ids while groups
+    sample independently — the same fold order as DP's
+    shard_sample_steps); each device slices its batch_size/nm molecules,
+    assembles its padded sub-batch on device from the replicated
+    HBM-resident DeviceDataset, wraps it as a molecule-aligned empty-cut
+    HaloBatch, and runs the exact hybrid train-step body
+    (``_hybrid_update``): both-axes psum'd BN statistics, the global
+    masked-mean loss over all nd*batch_size graphs, psum(pmean(grads,
+    model), data), AdamW. Global batch per optimizer step = nd *
+    batch_size i.i.d. draws — the same semantics the host-fed hybrid path
+    gets from nd loader batches.
+
+    Returns a jitted ``fn(state, device_data, train_ids, table) ->
+    (state, loss[K], edges[K])`` with replicated outputs; ``edges`` are
+    per-step global true-edge counts.
+    """
+    from molkgnn_tpu.graphs.device_pack import gather_batch, sample_ids
+
+    nm = int(mesh.shape[model_axis])
+    if batch_size % nm:
+        raise ValueError(
+            f"hybrid_sample_steps: batch_size {batch_size} not divisible"
+            f" by {nm} model shards"
+        )
+    bs_shard = batch_size // nm
+    if shard_spec.num_graphs != bs_shard:
+        raise ValueError(
+            f"shard_spec.num_graphs={shard_spec.num_graphs} != "
+            f"batch_size/nm={bs_shard}"
+        )
+    encoder = model.encoder
+
+    def per_device(state, data, train_ids, table):
+        mm = jax.lax.axis_index(model_axis)
+
+        def body(st, _):
+            key = jax.random.fold_in(
+                jax.random.fold_in(st.rng, st.step), salt
+            )
+            key = jax.random.fold_in(key, jax.lax.axis_index(data_axis))
+            ids = sample_ids(key, table, train_ids, batch_size)
+            mine = jax.lax.dynamic_slice(ids, (mm * bs_shard,), (bs_shard,))
+            local = gather_batch(data, mine, shard_spec)
+            hb = _local_halo(local, nm, mm * bs_shard, model_axis)
+            new_st, loss = _hybrid_update(
+                model, encoder, tx, loss_fn, data_axis, model_axis, nm,
+                st, hb, edge_bn_axis=(data_axis, model_axis),
+            )
+            edges = jax.lax.psum(
+                jax.lax.psum(data.edge_count[mine].sum(), model_axis),
+                data_axis,
+            )
+            return new_st, (loss, edges)
+
+        new_state, (losses, edges) = jax.lax.scan(
+            body, state, None, length=k
+        )
+        return new_state, losses, edges
+
+    fn = shard_map(
+        per_device,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P()),
+        out_specs=(P(), P(), P()),
         check_vma=False,
     )
     return jax.jit(fn, donate_argnums=(0,))

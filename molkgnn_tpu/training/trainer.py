@@ -283,6 +283,7 @@ class Trainer:
                 self._hybrid_eval = hybrid_eval_step(model, mesh)
 
         self._device_data = None
+        self._shard_spec = None
         if (
             collate is None
             and config.use_device_data
@@ -326,10 +327,52 @@ class Trainer:
                 if config.device_sampling:
                     self._init_sample_consts()
                     self._sample_programs = {}
+        elif (
+            collate is None
+            and config.use_device_data
+            and config.device_sampling
+            and config.model_parallel in ("halo", "hybrid")
+        ):
+            # Device-resident MODEL-PARALLEL feeding (VERDICT r3 item 2):
+            # the host-fed halo/hybrid loop pays loader collation + numpy
+            # partition + a full HaloBatch H2D per optimizer step; here the
+            # dataset is replicated into every chip's HBM once, each shard
+            # samples/slices/assembles its molecule-aligned sub-batch ON
+            # DEVICE, and K steps fuse per dispatch — zero per-step host
+            # input (parallel/halo.halo_sample_steps and
+            # parallel/hybrid.hybrid_sample_steps).
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            from molkgnn_tpu.graphs import spec_for_graphs
+            from molkgnn_tpu.graphs.device_pack import DeviceDataset
+            from molkgnn_tpu.graphs.packed import PackedGraphs
+
+            nm = (
+                int(mesh.shape["model"])
+                if config.model_parallel == "hybrid"
+                else int(np.prod(list(mesh.shape.values())))
+            )
+            if config.batch_size % nm:
+                raise ValueError(
+                    f"device_sampling with model_parallel="
+                    f"{config.model_parallel!r} needs batch_size divisible"
+                    f" by the {nm} model shards (got {config.batch_size})"
+                )
+            self._shard_spec = spec_for_graphs(
+                dataset.graphs, batch_size=config.batch_size // nm
+            )
+            self._device_data = jax.device_put(
+                DeviceDataset.from_packed(
+                    PackedGraphs.from_graphs(dataset.graphs)
+                ),
+                NamedSharding(mesh, PartitionSpec()),
+            )
+            self._init_sample_consts()
+            self._sample_programs = {}
         if config.device_sampling and self._device_data is None:
             raise ValueError(
                 "device_sampling requires the device-data path (default "
-                "collate, use_device_data=True, no model_parallel)"
+                "collate, use_device_data=True)"
             )
 
     # ------------------------------------------------------------------
@@ -480,6 +523,27 @@ class Trainer:
         spec, step_fn = self.spec, self._train_step_fn
         bs, salt = self.config.batch_size, self._SAMPLE_SALT
 
+        if self.config.model_parallel == "halo":
+            # Device-resident halo training: each shard samples the same
+            # global ids (single-device key stream), slices its molecules,
+            # assembles on device, and runs the exact halo step body.
+            from molkgnn_tpu.parallel.halo import halo_sample_steps
+
+            prog = halo_sample_steps(
+                self.model, self.tx, self.mesh, self._shard_spec, bs, k,
+                salt, loss_fn=self.loss_fn,
+            )
+            self._sample_programs[k] = prog
+            return prog
+        if self.config.model_parallel == "hybrid":
+            from molkgnn_tpu.parallel.hybrid import hybrid_sample_steps
+
+            prog = hybrid_sample_steps(
+                self.model, self.tx, self.mesh, self._shard_spec, bs, k,
+                salt, loss_fn=self.loss_fn,
+            )
+            self._sample_programs[k] = prog
+            return prog
         if self.mesh is not None:
             # DP composition: every chip draws its own [B] ids per step
             # (global batch ndev*B), pmeans grads (data_parallel.py).
@@ -896,30 +960,67 @@ class Trainer:
             t0 = time.time()
             losses = []
             if self._halo_step is not None:
-                # Model-parallel (halo) training: every batch is node-
-                # sharded over the whole mesh; one optimizer step per
-                # batch, same global-batch semantics as single device.
-                for batch in loader:
-                    self.state, loss = self._halo_step(
-                        self.state, self._partition_halo_pinned(batch)
-                    )
-                    losses.append(loss)
-            elif self._hybrid_step is not None:
-                # Hybrid 2D training: nd loader batches per optimizer
-                # step (global batch nd*B), each node-sharded over its
-                # model row. The trailing partial group is dropped
-                # (resampled next epoch), matching the DP path.
-                nd = int(self.mesh.shape["data"])
-                group = []
-                for batch in loader:
-                    group.append(batch)
-                    if len(group) == nd:
-                        self.state, loss = self._hybrid_step(
-                            self.state,
-                            self._partition_hybrid_pinned(group),
+                if cfg.device_sampling:
+                    # Device-resident halo epoch: zero per-step host input
+                    # (halo_sample_steps); same optimizer-step budget as
+                    # the host-fed path below.
+                    tids, table = self._sample_consts
+                    k = max(cfg.scan_steps, 1)
+                    nblocks, rem = divmod(steps_per_epoch, k)
+                    for _ in range(nblocks):
+                        self.state, loss_k, _ = self._train_steps_sample(k)(
+                            self.state, self._device_data, tids, table
+                        )
+                        losses.append(loss_k)
+                    if rem:
+                        self.state, loss_r, _ = self._train_steps_sample(
+                            rem
+                        )(self.state, self._device_data, tids, table)
+                        losses.append(loss_r)
+                else:
+                    # Model-parallel (halo) training: every batch is node-
+                    # sharded over the whole mesh; one optimizer step per
+                    # batch, same global-batch semantics as single device.
+                    for batch in loader:
+                        self.state, loss = self._halo_step(
+                            self.state, self._partition_halo_pinned(batch)
                         )
                         losses.append(loss)
-                        group = []
+            elif self._hybrid_step is not None:
+                nd = int(self.mesh.shape["data"])
+                if cfg.device_sampling:
+                    # Device-resident hybrid epoch: each step consumes
+                    # nd*B on-device draws (same global-batch semantics
+                    # and step budget as the host-fed grouping below).
+                    tids, table = self._sample_consts
+                    g = max(steps_per_epoch // nd, 1)
+                    k = max(cfg.scan_steps, 1)
+                    nblocks, rem = divmod(g, k)
+                    for _ in range(nblocks):
+                        self.state, loss_k, _ = self._train_steps_sample(k)(
+                            self.state, self._device_data, tids, table
+                        )
+                        losses.append(loss_k)
+                    if rem:
+                        self.state, loss_r, _ = self._train_steps_sample(
+                            rem
+                        )(self.state, self._device_data, tids, table)
+                        losses.append(loss_r)
+                else:
+                    # Hybrid 2D training: nd loader batches per optimizer
+                    # step (global batch nd*B), each node-sharded over its
+                    # model row. The trailing partial group is dropped
+                    # (resampled next epoch), matching the DP path.
+                    group = []
+                    for batch in loader:
+                        group.append(batch)
+                        if len(group) == nd:
+                            self.state, loss = self._hybrid_step(
+                                self.state,
+                                self._partition_hybrid_pinned(group),
+                            )
+                            losses.append(loss)
+                            group = []
             elif self.mesh is None and self._device_data is not None:
                 if cfg.device_sampling:
                     # Zero-host-input epoch: same OPTIMIZER-STEP budget
