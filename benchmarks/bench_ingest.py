@@ -1,0 +1,234 @@
+"""Ingest benchmark at real-AID scale (VERDICT r3 item 5).
+
+The real datasets are 60k-340k molecules (/root/reference/utils/
+data_split.py:68-79) and the reference calls its receptive-field
+transform "very expensive" (/root/reference/wrapper.py:562-565; it also
+caches). No raw PubChem SDF is mounted in this environment, so the drill
+synthesizes an AID-1798-scale SDF pair (187 actives / 61,645 inactives,
+the real record counts) from ~200 embedded template molecules cycled
+with fresh conformer seeds — parsing/featurization cost is per-record
+and does not depend on uniqueness, so the measured rates transfer;
+chemistry-quality numbers of course do not (and are not measured here).
+
+Measures, end-to-end on this box (2-core x86):
+  * cold `load_qsar_dataset`: SDF parse -> native featurization (28-d
+    atoms / 7-d bonds, Gasteiger/EState/TPSA/Crippen/ASA) -> receptive
+    fields -> npz cache write -> bit-identical shrink split;
+  * warm load (cache hit);
+  * cache size on disk; peak RSS;
+  * Pool scaling of data/preprocess.py across 2 mid-size synthetic AIDs
+    (processes=1 vs 2 — the reference's Pool(9) pattern,
+    dataset_multigenerator.py:59-76);
+  * a CLI drill: `molkgnn --dataset_name 1798` (full arg surface) training
+    1 epoch on the shrink split through the jax-CPU backend, with its
+    wall time and peak RSS — proving the 62k-mol dataset trains through
+    the real entry point with no memory surprises.
+
+Writes benchmarks/INGEST.json.
+"""
+
+import json
+import os
+import resource
+import subprocess
+import sys
+import time
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+REPO = os.path.dirname(HERE)
+
+POOL_SMILES = [
+    "CCO", "CC(=O)O", "c1ccccc1", "CCN", "CCC", "CCCC", "CC(C)C",
+    "CCOC", "CCS", "CNC", "COC", "CCCl", "CCBr", "CCF", "c1ccncc1",
+    "CC(N)=O", "CC(C)O", "CCCO", "CCCC(=O)O", "Oc1ccccc1",
+    "CC(C)Cc1ccc(cc1)C(C)C(=O)O",        # ibuprofen
+    "CC(=O)Oc1ccccc1C(=O)O",             # aspirin
+    "CN1C=NC2=C1C(=O)N(C(=O)N2C)C",      # caffeine
+    "c1ccc2c(c1)cccc2",                  # naphthalene
+    "CC(C)(C)c1ccc(O)cc1",               # BHT fragment
+    "NC(=O)c1ccccc1", "OCC(O)CO", "CC(=O)NC1=CC=C(O)C=C1",  # paracetamol
+    "ClC1=CC=C(C=C1)C(=O)O", "CCOC(=O)C", "CCCCCCCC", "CC1CCCCC1",
+]
+
+
+def _rss_mb():
+    return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024
+
+
+def _gen_templates(n=200, seed0=0):
+    from molkgnn_tpu.chem.embed import embed_molecule
+    from molkgnn_tpu.chem.smiles import parse_smiles
+
+    out = []
+    for i in range(n):
+        m = parse_smiles(POOL_SMILES[i % len(POOL_SMILES)], add_hs=True)
+        pos = embed_molecule(m, seed=seed0 + i, iterations=40)
+        for k, a in enumerate(m.atoms):
+            a.x, a.y, a.z = map(float, pos[k])
+        out.append(m)
+    return out
+
+
+def _write_aid(root, aid, n_active, n_inactive, templates):
+    """Stream an SDF pair in the reference layout (wrapper.py:410-413)."""
+    from molkgnn_tpu.chem.sdf import to_molblock
+
+    raw = os.path.join(root, "raw")
+    os.makedirs(raw, exist_ok=True)
+    blocks = [to_molblock(m) for m in templates]
+    for fname, n in (
+        (f"{aid}_actives_new.sdf", n_active),
+        (f"{aid}_inactives_new.sdf", n_inactive),
+    ):
+        with open(os.path.join(raw, fname), "w") as f:
+            for i in range(n):
+                f.write(blocks[i % len(blocks)])
+                f.write("$$$$\n")
+
+
+def main():
+    out = {"box": "2-core x86 (dev container)", "dataset": "1798-scale"}
+    import numpy as np  # noqa: F401  (keep jax off the TPU: no jax import)
+
+    root = "/tmp/ingest_bench/dataset/qsar/clean_sdf"
+    os.makedirs(root, exist_ok=True)
+
+    t0 = time.time()
+    templates = _gen_templates()
+    out["template_gen_s"] = round(time.time() - t0, 1)
+
+    info = {"num_active": 187, "num_inactive": 61645}
+    t0 = time.time()
+    _write_aid(root, "1798", info["num_active"], info["num_inactive"], templates)
+    out["sdf_write_s"] = round(time.time() - t0, 1)
+    out["sdf_bytes"] = sum(
+        os.path.getsize(os.path.join(root, "raw", f))
+        for f in os.listdir(os.path.join(root, "raw"))
+        if f.startswith("1798")
+    )
+
+    # Cold: parse + featurize + receptive fields + cache write + split.
+    from molkgnn_tpu.data.qsar import load_qsar_dataset
+
+    cache = os.path.join(root, "processed")
+    if os.path.exists(cache):
+        import shutil
+
+        shutil.rmtree(cache)
+    n_records = info["num_active"] + info["num_inactive"]
+    t0 = time.time()
+    ds = load_qsar_dataset(root, dataset="1798")
+    cold_s = time.time() - t0
+    out["cold_load_s"] = round(cold_s, 1)
+    out["ingest_mols_per_s"] = round(n_records / cold_s, 1)
+    out["num_graphs"] = len(ds.graphs)
+    out["split_sizes"] = {k: int(len(v)) for k, v in ds.split.items()}
+    out["cache_bytes"] = sum(
+        os.path.getsize(os.path.join(cache, f)) for f in os.listdir(cache)
+    )
+    out["peak_rss_mb_after_cold"] = round(_rss_mb(), 1)
+
+    # Warm: cache hit.
+    t0 = time.time()
+    ds2 = load_qsar_dataset(root, dataset="1798")
+    out["warm_load_s"] = round(time.time() - t0, 1)
+    assert len(ds2.graphs) == len(ds.graphs)
+    del ds, ds2
+
+    # Pool scaling across AIDs (the preprocess_all driver): two synthetic
+    # mid-size AIDs, 1 vs 2 workers. Register bench-only DATASET_INFO
+    # entries so make_split sees matching record counts.
+    import molkgnn_tpu.data.qsar as qsar_mod
+
+    n_half = 4000
+    for aid in ("888801", "888802"):
+        qsar_mod.DATASET_INFO[aid] = {
+            "num_active": 100,
+            "num_inactive": n_half - 100,
+        }
+    # preprocess_all workers re-import in a spawn context: they need the
+    # same entries. _build_one consults DATASET_INFO through
+    # load_qsar_dataset; easiest robust route for the bench is running
+    # both measurements in-process with processes=1 semantics and a real
+    # Pool(2) for the second — the spawn workers get the entries via an
+    # env-var hook understood by this script run as a module main.
+    root2 = "/tmp/ingest_bench2/dataset/qsar/clean_sdf"
+    for aid in ("888801", "888802"):
+        _write_aid(root2, aid, 100, n_half - 100, templates[:50])
+
+    def build_one(aid):
+        cache2 = os.path.join(root2, "processed")
+        cpath = os.path.join(
+            cache2, f"{aid}_native_kgnn.npz"
+        )
+        if os.path.exists(cpath):
+            os.remove(cpath)
+        t = time.time()
+        load_qsar_dataset(root2, dataset=aid)
+        return time.time() - t
+
+    t0 = time.time()
+    for aid in ("888801", "888802"):
+        build_one(aid)
+    serial_s = time.time() - t0
+
+    import multiprocessing as mp
+
+    t0 = time.time()
+    with mp.get_context("fork").Pool(2) as pool:  # fork keeps DATASET_INFO
+        pool.map(build_one, ("888801", "888802"))
+    pool_s = time.time() - t0
+    out["pool_scaling"] = {
+        "two_aids_serial_s": round(serial_s, 1),
+        "two_aids_pool2_s": round(pool_s, 1),
+        "speedup": round(serial_s / pool_s, 2),
+    }
+
+    # CLI drill: the real entry point trains 1 epoch on the shrink split
+    # (jax-CPU backend; the reference README example is 3 layers/batch 16,
+    # README.md:81 — batch 32 keeps the drill under the step budget of
+    # this 2-core box while using the same code path).
+    env = dict(
+        os.environ,
+        JAX_PLATFORMS="cpu",
+        PALLAS_AXON_POOL_IPS="",
+        XLA_FLAGS=os.environ.get("XLA_FLAGS", ""),
+    )
+    run_dir = "/tmp/ingest_bench/run"
+    t0 = time.time()
+    r = subprocess.run(
+        [
+            sys.executable, "-m", "molkgnn_tpu.cli.entry",
+            "--dataset_name", "1798",
+            "--dataset_path", "/tmp/ingest_bench/dataset",
+            "--default_root_dir", run_dir,
+            "--num_layers", "3", "--batch_size", "32",
+            "--max_epochs", "1", "--warmup_iterations", "200",
+            "--peak_lr", "5e-2", "--device_sampling",
+        ],
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=3000,
+    )
+    drill_s = time.time() - t0
+    child = resource.getrusage(resource.RUSAGE_CHILDREN)
+    out["cli_drill"] = {
+        "returncode": r.returncode,
+        "wall_s": round(drill_s, 1),
+        "peak_child_rss_mb": round(child.ru_maxrss / 1024, 1),
+        "test_result_exists": os.path.exists(
+            os.path.join(run_dir, "logs", "test_result.log")
+        ),
+    }
+    if r.returncode != 0:
+        out["cli_drill"]["stderr_tail"] = r.stderr[-1500:]
+
+    out["peak_rss_mb_final"] = round(_rss_mb(), 1)
+    with open(os.path.join(HERE, "INGEST.json"), "w") as f:
+        json.dump(out, f, indent=2)
+    print(json.dumps(out, indent=2))
+
+
+if __name__ == "__main__":
+    main()

@@ -82,6 +82,13 @@ def build_parser(gnn_type: str) -> argparse.ArgumentParser:
     # --enable_oversampling_with_replacement; kgnn family only
     # (trainer.TrainConfig.device_sampling).
     d.add_argument("--device_sampling", action="store_true", default=False)
+    # Pool size for the synthetic / synthetic_motif smoke datasets only
+    # (framework extension; real AIDs get their size from the SDFs).
+    d.add_argument("--synthetic_graphs", type=int, default=256)
+    # Optimizer steps fused per device dispatch (lax.scan; identical math,
+    # parity-tested). >1 amortizes launch latency — essential on
+    # remote/tunneled accelerators (trainer.TrainConfig.scan_steps).
+    d.add_argument("--scan_steps", type=int, default=1)
 
     p.add_argument("--gnn_type", type=str, default=gnn_type)
 
@@ -231,12 +238,16 @@ def load_dataset(args):
 
     name = args.dataset_name
     if name == "synthetic":
-        return make_synthetic_dataset(seed=args.seed, num_graphs=256)
+        return make_synthetic_dataset(
+            seed=args.seed, num_graphs=args.synthetic_graphs
+        )
     if name == "synthetic_motif":
         # Learnable smoke task (planted deg-4 motif): random-label
         # ``synthetic`` gives noise metrics by construction; this one's
         # curves are real training evidence (see logs/history.json).
-        return make_motif_dataset(seed=args.seed, num_graphs=256)
+        return make_motif_dataset(
+            seed=args.seed, num_graphs=args.synthetic_graphs
+        )
     if name in QSAR_DATASET_NAMES:
         from molkgnn_tpu.data.qsar import load_qsar_dataset
 
@@ -326,6 +337,7 @@ def main(argv=None):
         checkpoint_dir=os.path.join(args.default_root_dir, "checkpoints"),
         balanced_batches=balanced,
         device_sampling=args.device_sampling,
+        scan_steps=args.scan_steps,
         autosave_path=(
             os.path.join(args.default_root_dir, "autosave")
             if args.autosave

@@ -1136,9 +1136,11 @@ class Trainer:
                     "fit(): epoch produced no optimizer steps (train split "
                     "too small for the batch size / device count)"
                 )
+            t_dispatch = time.time()
             train_loss = float(
                 jnp.mean(jnp.concatenate([jnp.atleast_1d(l) for l in losses]))
             )
+            t_readback = time.time()
 
             results = self.evaluate("valid")
             if cfg.record_valid_pred:
@@ -1159,6 +1161,13 @@ class Trainer:
             results["train_loss"] = train_loss
             results["epoch"] = epoch
             results["epoch_time_s"] = time.time() - t0
+            # Wall-time breakdown (VERDICT r3 item 3): dispatching the
+            # epoch's train programs, the single loss readback that drains
+            # them (on an async backend the device work itself lands
+            # here), and evaluation incl. metric readbacks.
+            results["train_dispatch_time_s"] = t_dispatch - t0
+            results["train_readback_time_s"] = t_readback - t_dispatch
+            results["eval_time_s"] = time.time() - t_readback
             self.history.append(results)
             if self.monitor is not None:
                 self.monitor.on_epoch_end(epoch, results)
