@@ -33,7 +33,7 @@ TIMEOUT_S = 3300
 
 
 def main():
-    out = {"config": "motif-4096, 4 layers 10/20/30/50, b256, devsample, scan40"}
+    out = {"config": "motif-4096, 4 layers 10/20/30/50, b256, devsample, scan40, warmup40, 6 epochs"}
     t0 = time.time()
     r = None
     try:
@@ -45,8 +45,9 @@ def main():
                 "--num_layers", "4",
                 "--hidden_dim", "32",
                 "--batch_size", "256",
-                "--max_epochs", "4",
-                "--warmup_iterations", "300",
+                "--max_epochs", "6",
+                "--warmup_iterations", "40",  # 13 steps/epoch * 6 epochs: flagship's
+                # warmup=300 would swallow the whole run inside warmup
                 "--peak_lr", "5e-3",
                 "--enable_oversampling_with_replacement",
                 "--device_sampling",

@@ -485,3 +485,55 @@ def test_profiler_trace_refuses_relay_backend(tmp_path, monkeypatch):
     with M.profiler_trace(str(tmp_path / "tb")):
         pass
     assert any((tmp_path / "tb").iterdir())
+
+
+def test_devsample_autosave_resume_matches_uninterrupted(tmp_path):
+    """Device-sampled training is resume-DETERMINISTIC: the sampler keys
+    every draw off (state.rng, state.step), both restored by the
+    autosave, so an interrupted+resumed fit must land on exactly the
+    parameters of an uninterrupted run (same epochs, same seeds)."""
+    import jax
+
+    def make(sub, autosave, max_epochs):
+        ds = make_synthetic_dataset(
+            seed=8, num_graphs=32, active_fraction=0.3
+        )
+        spec = spec_for_graphs(ds.graphs, batch_size=8)
+        model = GNNModel(
+            encoder=MolKGNNNet(
+                num_layers=1, kernels_1hop=(2, 2, 2, 2),
+                kernels_nhop=(2, 2, 2, 2), graph_embedding_dim=8,
+            ),
+            ffn_dropout_rate=0.0,
+        )
+        cfg = TrainConfig(
+            batch_size=8, max_epochs=max_epochs, warmup_iterations=3,
+            oversample=True, device_sampling=True, scan_steps=2,
+            progress=False, log_dir=str(tmp_path / sub),
+            autosave_path=autosave,
+            # Pin the LR horizon: tot_iterations derives from max_epochs,
+            # and the interrupted leg is constructed with a smaller one —
+            # a preempted production run must pass the FULL horizon.
+            tot_iterations=18,
+        )
+        return Trainer(model, ds, spec, cfg)
+
+    # Uninterrupted 4-epoch run.
+    ref = make("ref", None, 4)
+    ref.fit()
+
+    # Interrupted run: 2 epochs, autosave, then a FRESH trainer resumes.
+    a_path = str(tmp_path / "auto")
+    part1 = make("p1", a_path, 2)
+    part1.fit()
+    part2 = make("p2", a_path, 4)
+    h2 = part2.fit()
+    assert [e["epoch"] for e in h2] == [0, 1, 2, 3]
+    assert int(np.asarray(part2.state.step)) == int(
+        np.asarray(ref.state.step)
+    )
+    for a, b in zip(
+        jax.tree.leaves(ref.state.params),
+        jax.tree.leaves(part2.state.params),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
