@@ -296,6 +296,7 @@ class Trainer:
                 PackedGraphs.from_graphs(dataset.graphs)
             )
             self._eval_step_ids = self._build_eval_step_ids()
+            self._eval_steps_scan = self._build_eval_steps_scan()
             if mesh is None:
                 self._train_step_ids = self._build_train_step_ids()
                 self._train_steps_scan = self._build_train_steps_scan()
@@ -589,6 +590,32 @@ class Trainer:
 
         return jax.jit(eval_step_ids)
 
+    def _build_eval_steps_scan(self) -> Callable:
+        """Whole-split evaluation in ONE dispatch: lax.scan over the
+        [nblocks, B] id matrix, assembling each batch on device
+        (r4; previously _predict_ids dispatched once per batch — a split
+        of thousands of molecules paid hundreds of link round trips per
+        epoch). Programs cache per nblocks (splits have fixed sizes, so
+        at most one compile per split size per run)."""
+        from molkgnn_tpu.graphs.device_pack import gather_batch
+
+        model, spec = self.model, self.spec
+
+        def eval_steps(params, batch_stats, data, ids_block):
+            def body(_, ids):
+                batch = gather_batch(data, ids, spec)
+                pred, _ = model.apply(
+                    {"params": params, "batch_stats": batch_stats},
+                    batch,
+                    train=False,
+                )
+                return None, pred
+
+            _, preds = jax.lax.scan(body, None, ids_block)
+            return preds  # [nblocks, B]
+
+        return jax.jit(eval_steps)
+
     def _build_eval_step(self) -> Callable:
         model = self.model
 
@@ -683,36 +710,33 @@ class Trainer:
             counts = self._graph_counts()
             idm, posm = deal_by_size(ids, counts[ids, SIZE_FIELD], bs)
             check_batches_fit(idm, counts, self.spec)
-            dev_preds = [
-                self._eval_step_ids(
+            flat = np.asarray(
+                self._eval_steps_scan(
                     self.state.params,
                     self.state.batch_stats,
                     self._device_data,
-                    row,
+                    np.asarray(idm, np.int32),
                 )
-                for row in idm
-            ]
-            flat = np.asarray(jnp.concatenate(dev_preds))
+            ).reshape(-1)
             valid = (idm >= 0).reshape(-1)
             pred = np.empty(len(ids), np.float32)
             pred[posm.reshape(-1)[valid]] = flat[valid]
         else:
-            dev_preds, keep = [], []
-            for start in range(0, len(ids), bs):
-                chunk = ids[start : start + bs]
-                dev_preds.append(
-                    self._eval_step_ids(
-                        self.state.params,
-                        self.state.batch_stats,
-                        self._device_data,
-                        pad_ids(chunk, bs),
-                    )
+            idm = np.stack(
+                [
+                    pad_ids(ids[start : start + bs], bs)
+                    for start in range(0, len(ids), bs)
+                ]
+            )
+            flat = np.asarray(
+                self._eval_steps_scan(
+                    self.state.params,
+                    self.state.batch_stats,
+                    self._device_data,
+                    idm,
                 )
-                keep.append(
-                    np.arange(bs) < len(chunk)
-                )
-            mask = np.concatenate(keep)
-            pred = np.asarray(jnp.concatenate(dev_preds))[mask]
+            ).reshape(-1)
+            pred = flat[(idm >= 0).reshape(-1)]
         true = np.array([self.dataset.graphs[i].y for i in ids], np.float32)
         return true, pred
 
@@ -1144,7 +1168,15 @@ class Trainer:
 
             results = self.evaluate("valid")
             if cfg.record_valid_pred:
-                if self._device_data is not None:
+                if self._halo_step is not None:
+                    true_y, pred_y = self._predict_halo(
+                        self.dataset.subset("valid")
+                    )
+                elif self._hybrid_step is not None:
+                    true_y, pred_y = self._predict_hybrid(
+                        self.dataset.subset("valid")
+                    )
+                elif self._device_data is not None:
                     true_y, pred_y = self._predict_ids(
                         np.asarray(self.dataset.split["valid"])
                     )
