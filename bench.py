@@ -345,6 +345,12 @@ def _final_json(rows, extra):
         if _PARTIAL["link_rtt_ms"] > 10.0:
             out["link_state"] = "degraded"
             out["healthy_reference"] = "benchmarks/BENCH_r03_midround.json"
+            # r4 root cause (benchmarks/DIAG_TRAINSTEP.json + CLAUDE.md):
+            # in this state gather/scatter-path HBM traffic is throttled
+            # ~30-80x and each scan iteration pays a ~1.6 ms floor, while
+            # MXU matmul chains run at full speed — the numbers below
+            # measure that throttle, not this program.
+            out["degraded_decomposition"] = "benchmarks/DIAG_TRAINSTEP.json"
         else:
             out["link_state"] = "healthy"
     try:

@@ -55,6 +55,30 @@ def _rss_mb():
     return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024
 
 
+def _pool_init(info):
+    """Worker initializer (spawn context — fork after jax import can
+    deadlock on XLA threads): register the bench-only AID entries."""
+    import molkgnn_tpu.data.qsar as qsar_mod
+
+    qsar_mod.DATASET_INFO.update(info)
+
+
+def _pool_build(args):
+    """Module-level Pool worker (closures don't pickle): fresh build of one
+    synthetic AID's cache."""
+    root2, aid = args
+    import molkgnn_tpu.data.qsar as qsar_mod
+
+    cpath = qsar_mod._cache_path(
+        os.path.join(root2, "processed"), aid, "native", "kgnn"
+    )
+    if os.path.exists(cpath):
+        os.remove(cpath)
+    t = time.time()
+    qsar_mod.load_qsar_dataset(root2, dataset=aid)
+    return time.time() - t
+
+
 def _gen_templates(n=200, seed0=0):
     from molkgnn_tpu.chem.embed import embed_molecule
     from molkgnn_tpu.chem.smiles import parse_smiles
@@ -135,48 +159,34 @@ def main():
     assert len(ds2.graphs) == len(ds.graphs)
     del ds, ds2
 
-    # Pool scaling across AIDs (the preprocess_all driver): two synthetic
-    # mid-size AIDs, 1 vs 2 workers. Register bench-only DATASET_INFO
-    # entries so make_split sees matching record counts.
+    # Pool scaling across AIDs (the preprocess_all driver's regime,
+    # dataset_multigenerator.py:59-76): two synthetic mid-size AIDs,
+    # 1 vs 2 workers. Bench-only DATASET_INFO entries give make_split
+    # matching record counts; spawn workers get them via the initializer.
     import molkgnn_tpu.data.qsar as qsar_mod
 
     n_half = 4000
-    for aid in ("888801", "888802"):
-        qsar_mod.DATASET_INFO[aid] = {
-            "num_active": 100,
-            "num_inactive": n_half - 100,
-        }
-    # preprocess_all workers re-import in a spawn context: they need the
-    # same entries. _build_one consults DATASET_INFO through
-    # load_qsar_dataset; easiest robust route for the bench is running
-    # both measurements in-process with processes=1 semantics and a real
-    # Pool(2) for the second — the spawn workers get the entries via an
-    # env-var hook understood by this script run as a module main.
+    info = {
+        aid: {"num_active": 100, "num_inactive": n_half - 100}
+        for aid in ("888801", "888802")
+    }
+    qsar_mod.DATASET_INFO.update(info)
     root2 = "/tmp/ingest_bench2/dataset/qsar/clean_sdf"
     for aid in ("888801", "888802"):
         _write_aid(root2, aid, 100, n_half - 100, templates[:50])
 
-    def build_one(aid):
-        cache2 = os.path.join(root2, "processed")
-        cpath = os.path.join(
-            cache2, f"{aid}_native_kgnn.npz"
-        )
-        if os.path.exists(cpath):
-            os.remove(cpath)
-        t = time.time()
-        load_qsar_dataset(root2, dataset=aid)
-        return time.time() - t
-
     t0 = time.time()
     for aid in ("888801", "888802"):
-        build_one(aid)
+        _pool_build((root2, aid))
     serial_s = time.time() - t0
 
     import multiprocessing as mp
 
     t0 = time.time()
-    with mp.get_context("fork").Pool(2) as pool:  # fork keeps DATASET_INFO
-        pool.map(build_one, ("888801", "888802"))
+    with mp.get_context("spawn").Pool(
+        2, initializer=_pool_init, initargs=(info,)
+    ) as pool:
+        pool.map(_pool_build, [(root2, "888801"), (root2, "888802")])
     pool_s = time.time() - t0
     out["pool_scaling"] = {
         "two_aids_serial_s": round(serial_s, 1),

@@ -161,7 +161,13 @@ def save_graph_cache(path: str, graphs: List[MolGraph], invalid) -> None:
 
 
 def load_graph_cache(path: str) -> Tuple[List[MolGraph], List[Tuple[int, int]]]:
-    z = np.load(path, allow_pickle=True)
+    # Materialize every array ONCE before the loop: indexing an NpzFile
+    # re-decompresses the whole member on EVERY access, which turns the
+    # per-graph loop quadratic (measured: a 62k-mol cache took >10 min to
+    # "warm"-load vs ~60 s to build cold; with this hoist it loads in
+    # seconds).
+    with np.load(path, allow_pickle=True) as zf:
+        z = {k: zf[k] for k in zf.files}
     node_off = np.concatenate([[0], np.cumsum(z["node_counts"])])
     edge_off = np.concatenate([[0], np.cumsum(z["edge_counts"])])
     graphs = []
