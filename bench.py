@@ -167,7 +167,8 @@ class _Runner:
     """
 
     def __init__(
-        self, batch_size, matmul_dtype, ds, balanced=False, device_sample=False
+        self, batch_size, matmul_dtype, ds, balanced=False,
+        device_sample=False, scan_steps=None,
     ):
         import jax
 
@@ -176,6 +177,13 @@ class _Runner:
         from molkgnn_tpu.training import GNNModel, TrainConfig, Trainer
 
         self.batch_size = batch_size
+        # Per-runner scan length: the b8192 saturation config FAILS to
+        # compile at scan=80 on the relay backend (UNAVAILABLE ~150 s
+        # into the remote compile; bisected r4 — fails with host ids
+        # too, so it is a (batch x loop-length) compile-capacity limit,
+        # NOT the sampled gather; benchmarks/B8192_BISECT.json). scan=10
+        # compiles and runs there; smaller configs keep SCAN_STEPS.
+        self.scan = scan_steps or SCAN_STEPS
         # MFU denominator must come from THIS runner's dataset (ADVICE r2:
         # per-dataset mean flops/graph differ between the 256- and
         # 1024-graph pools).
@@ -202,7 +210,7 @@ class _Runner:
             warmup_iterations=300,
             weight_decay=1e-3,
             progress=False,
-            scan_steps=SCAN_STEPS,
+            scan_steps=self.scan,
             balanced_batches=balanced,
             device_sampling=device_sample,
         )
@@ -218,7 +226,7 @@ class _Runner:
             stream = self.trainer._epoch_id_batches(cfg)
             while True:
                 block = []
-                while len(block) < SCAN_STEPS:
+                while len(block) < self.scan:
                     try:
                         block.append(next(stream))
                     except StopIteration:
@@ -231,7 +239,7 @@ class _Runner:
             # Zero per-step host input: ids are drawn on device from the
             # oversampling cdf (trainer._train_steps_sample); the program
             # returns per-step TRUE edge counts for throughput accounting.
-            self._prog = self.trainer._train_steps_sample(SCAN_STEPS)
+            self._prog = self.trainer._train_steps_sample(self.scan)
             self._consts = self.trainer._sample_consts
             self.state, loss_k, _ = self._prog(
                 self.state, self.dev_data, *self._consts
@@ -285,7 +293,7 @@ class _Runner:
                     self.state, loss_k = self.trainer._train_steps_scan(
                         self.state, self.dev_data, block
                     )
-                done += SCAN_STEPS
+                done += self.scan
                 _tick()
             self._jax.block_until_ready(loss_k)
             dt = time.perf_counter() - t0
@@ -473,19 +481,25 @@ def main():
     # smaller batches are dispatch-latency-bound). At b8192 the step is
     # genuinely compute-bound: 93.5% MFU of bf16 peak with 0.5% window
     # spread (the tunnel disappears from the measurement). Optional so a
-    # slow-link day still emits the tracked rows. Device-sampled since the
-    # SCAN_STEPS=80 change: the host path's [80, 8192] id block is 2.6 MB
-    # of per-dispatch H2D, which a degraded link cannot move.
+    # slow-link day still emits the tracked rows. Device-sampled (the host
+    # path's per-dispatch id block is MBs of H2D a degraded link cannot
+    # move) and scan=10 NOT 80: (b8192 x scan80) exceeds the relay
+    # backend's remote-compile capacity and dies with UNAVAILABLE — with
+    # host ids too, so it is not the sampled gather (bisected r4,
+    # benchmarks/B8192_BISECT.json). The window is still 80 steps
+    # (8 dispatches of 10).
     r8192 = None
     if budget_left() > 150:
         ds8192 = make_synthetic_dataset(seed=0, num_graphs=2 * 8192)
         r8192 = safe(
             "b8192_bf16_devsample",
-            lambda: _Runner(8192, "bfloat16", ds8192, device_sample=True),
+            lambda: _Runner(
+                8192, "bfloat16", ds8192, device_sample=True, scan_steps=10
+            ),
         )
         if r8192:
             rows["b8192_bf16_devsample"] = r8192.measure(
-                steps=SCAN_STEPS, repeats=1
+                steps=80, repeats=1
             )
 
     # Interleaved windows (VERDICT r2 item 3): alternate the compiled
@@ -509,7 +523,7 @@ def main():
             rows["b1024_bf16_devsample"] = rs1024.measure(repeats=1)
         if r8192 is not None:
             rows["b8192_bf16_devsample"] = r8192.measure(
-                steps=SCAN_STEPS, repeats=1
+                steps=80, repeats=1
             )
         _tick()
 

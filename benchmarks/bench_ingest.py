@@ -214,7 +214,9 @@ def main():
             "--default_root_dir", run_dir,
             "--num_layers", "3", "--batch_size", "32",
             "--max_epochs", "1", "--warmup_iterations", "200",
-            "--peak_lr", "5e-2", "--device_sampling",
+            "--peak_lr", "5e-2",
+            "--enable_oversampling_with_replacement", "--device_sampling",
+            "--scan_steps", "16",
         ],
         env=env,
         capture_output=True,
