@@ -284,17 +284,42 @@ class Trainer:
 
         self._device_data = None
         self._shard_spec = None
+        self._gather_fn = None
+        # The device-resident input pipeline covers the kgnn family
+        # (collate=None -> graphs/device_pack) AND the 3D point-cloud
+        # families (PointBatchSpec -> graphs/device_points, r4); chironet's
+        # bespoke batches stay on the host loader.
+        point_family = False
+        if collate is not None and config.use_device_data:
+            from molkgnn_tpu.graphs.geometric import PointBatchSpec
+
+            point_family = isinstance(spec, PointBatchSpec)
         if (
-            collate is None
+            (collate is None or point_family)
             and config.use_device_data
             and config.model_parallel is None
         ):
-            from molkgnn_tpu.graphs.device_pack import DeviceDataset
-            from molkgnn_tpu.graphs.packed import PackedGraphs
+            if collate is None:
+                from molkgnn_tpu.graphs.device_pack import (
+                    DeviceDataset,
+                    gather_batch,
+                )
+                from molkgnn_tpu.graphs.packed import PackedGraphs
 
-            self._device_data = DeviceDataset.from_packed(
-                PackedGraphs.from_graphs(dataset.graphs)
-            )
+                self._device_data = DeviceDataset.from_packed(
+                    PackedGraphs.from_graphs(dataset.graphs)
+                )
+                self._gather_fn = gather_batch
+            else:
+                from molkgnn_tpu.graphs.device_points import (
+                    DevicePointDataset,
+                    gather_points,
+                )
+
+                self._device_data = DevicePointDataset.from_graphs(
+                    dataset.graphs, spec
+                )
+                self._gather_fn = gather_points
             self._eval_step_ids = self._build_eval_step_ids()
             self._eval_steps_scan = self._build_eval_steps_scan()
             if mesh is None:
@@ -309,7 +334,6 @@ class Trainer:
                 # dispatch (parallel/data_parallel.shard_scan_steps).
                 from jax.sharding import NamedSharding, PartitionSpec
 
-                from molkgnn_tpu.graphs.device_pack import gather_batch
                 from molkgnn_tpu.parallel.data_parallel import (
                     shard_scan_steps,
                 )
@@ -323,7 +347,7 @@ class Trainer:
                     self._device_data, NamedSharding(mesh, PartitionSpec())
                 )
                 self._train_steps_scan_dp = shard_scan_steps(
-                    self._train_step_fn, gather_batch, spec, mesh
+                    self._train_step_fn, self._gather_fn, spec, mesh
                 )
                 if config.device_sampling:
                     self._init_sample_consts()
@@ -443,8 +467,7 @@ class Trainer:
         return jax.jit(train_step, donate_argnums=(0,))
 
     def _build_train_step_ids(self) -> Callable:
-        from molkgnn_tpu.graphs.device_pack import gather_batch
-
+        gather_batch = self._gather_fn
         spec, step_fn = self.spec, self._train_step_fn
 
         def train_step_ids(state, data, ids):
@@ -457,8 +480,7 @@ class Trainer:
         [K, B] block of sampled graph ids. One program launch amortizes the
         per-dispatch latency across K steps; per-step semantics (dropout
         fold-in by step counter, AdamW, schedule) are unchanged."""
-        from molkgnn_tpu.graphs.device_pack import gather_batch
-
+        gather_batch = self._gather_fn
         spec, step_fn = self.spec, self._train_step_fn
 
         def train_steps(state, data, ids_block):
@@ -519,8 +541,9 @@ class Trainer:
         prog = self._sample_programs.get(k)
         if prog is not None:
             return prog
-        from molkgnn_tpu.graphs.device_pack import gather_batch, sample_ids
+        from molkgnn_tpu.graphs.device_pack import sample_ids
 
+        gather_batch = self._gather_fn
         spec, step_fn = self.spec, self._train_step_fn
         bs, salt = self.config.batch_size, self._SAMPLE_SALT
 
@@ -575,8 +598,7 @@ class Trainer:
         return prog
 
     def _build_eval_step_ids(self) -> Callable:
-        from molkgnn_tpu.graphs.device_pack import gather_batch
-
+        gather_batch = self._gather_fn
         model, spec = self.model, self.spec
 
         def eval_step_ids(params, batch_stats, data, ids):
@@ -597,8 +619,7 @@ class Trainer:
         of thousands of molecules paid hundreds of link round trips per
         epoch). Programs cache per nblocks (splits have fixed sizes, so
         at most one compile per split size per run)."""
-        from molkgnn_tpu.graphs.device_pack import gather_batch
-
+        gather_batch = self._gather_fn
         model, spec = self.model, self.spec
 
         def eval_steps(params, batch_stats, data, ids_block):

@@ -141,3 +141,45 @@ def test_device_gather_equals_host_pack():
             np.testing.assert_array_equal(
                 np.asarray(a), np.asarray(b), err_msg=str(ka)
             )
+
+
+def test_device_gather_points_equals_host_pack():
+    """The 3D-family on-device assembly (graphs/device_points.gather_points)
+    must be BIT-identical to the host packer (geometric.batch_points) for
+    the same graphs and spec — the device_pack <-> packed.py cross-check
+    extended to PointBatch, including the three index rebasings (nodes,
+    triplet edge ids, quad triplet ids)."""
+    import jax
+    import jax.numpy as jnp
+
+    from molkgnn_tpu.graphs.device_pack import pad_ids
+    from molkgnn_tpu.graphs.device_points import (
+        DevicePointDataset,
+        gather_points,
+    )
+    from molkgnn_tpu.graphs.geometric import (
+        batch_points,
+        point_spec_for_graphs,
+    )
+
+    graphs = random_dataset(seed=17, num_graphs=24)
+    for kw in (
+        {},  # schnet regime: radius edges only
+        {"with_triplets": True},  # dimenet++ regime
+        {"with_torsion": True},  # spherenet regime
+    ):
+        spec = point_spec_for_graphs(graphs, batch_size=8, cutoff=5.0, **kw)
+        dev = DevicePointDataset.from_graphs(graphs, spec)
+        for ids in (np.array([5, 1, 19, 2, 8, 11, 0, 23]), np.array([7, 3])):
+            want = batch_points([graphs[i] for i in ids], spec)
+            got = jax.jit(gather_points, static_argnums=2)(
+                dev, jnp.asarray(pad_ids(ids, 8)), spec
+            )
+            for (ka, a), (kb, b) in zip(
+                jax.tree_util.tree_leaves_with_path(got),
+                jax.tree_util.tree_leaves_with_path(want),
+            ):
+                assert str(ka) == str(kb)
+                np.testing.assert_array_equal(
+                    np.asarray(a), np.asarray(b), err_msg=f"{kw} {ka}"
+                )

@@ -1079,3 +1079,54 @@ def test_halo_devsample_fit_epoch_budget_and_eval(tmp_path):
     assert int(np.asarray(trainer.state.step)) == 2 * steps_per_epoch
     assert np.isfinite(history[-1]["train_loss"])
     assert np.isfinite(history[-1]["loss"])
+
+
+def test_schnet_device_resident_dp_devsample(tmp_path):
+    """The 3D-family device-resident pipeline composes with data
+    parallelism: a SchNet fit over a 2-device mesh with device_sampling
+    draws every chip's ids on device (zero per-step host input), keeps
+    the DP step budget, and produces finite losses."""
+    from molkgnn_tpu.data.dataset import Dataset, QSAR_METRICS
+    from molkgnn_tpu.data.synthetic import random_molgraph
+    from molkgnn_tpu.graphs.device_points import DevicePointDataset
+    from molkgnn_tpu.models.registry import get_family
+
+    rng = np.random.default_rng(5)
+    graphs = [random_molgraph(rng, num_atoms=12) for _ in range(64)]
+    for i, g in enumerate(graphs):
+        g.y = float(i % 3 == 0)
+    ds = Dataset(
+        name="schnet-dp",
+        graphs=graphs,
+        split={
+            "train": np.arange(48),
+            "valid": np.arange(48, 56),
+            "test": np.arange(56, 64),
+        },
+        metrics=list(QSAR_METRICS),
+        loss_name="bce_with_logits",
+    )
+    fam = get_family("schnet")
+    spec = fam.make_spec(graphs, batch_size=8, cutoff=3.0)
+    model = GNNModel(
+        encoder=fam.make_encoder(
+            cutoff=3.0, num_layers=1, hidden_channels=16,
+            num_filters=16, out_channels=8,
+        ),
+        ffn_dropout_rate=0.0,
+    )
+    cfg = TrainConfig(
+        batch_size=8, max_epochs=2, warmup_iterations=5, oversample=True,
+        device_sampling=True, scan_steps=2, progress=False,
+        log_dir=str(tmp_path / "logs"),
+    )
+    trainer = Trainer(model, ds, spec, cfg, mesh=make_mesh(2), collate=fam.collate)
+    assert isinstance(
+        jax.tree.leaves(trainer._device_data)[0].sharding,
+        jax.sharding.NamedSharding,
+    )
+    history = trainer.fit()
+    assert len(history) == 2
+    assert all(np.isfinite(h["train_loss"]) for h in history)
+    # DP step budget: ceil(48/8)=6 steps/epoch over 2 devices -> 3.
+    assert int(np.asarray(trainer.state.step)) == 2 * 3
