@@ -118,3 +118,43 @@ for g, w in zip(got, want):
         np.asarray(g), np.asarray(w), rtol=1e-5, atol=1e-7
     )
 print(f"MULTIHOST-OK pid={pid} loss={float(np.asarray(loss)):.6f}", flush=True)
+
+# Device-sampled DP over the REAL multi-process mesh (r4): every global
+# device draws its own weighted ids ON DEVICE (zero per-step host input),
+# gathers its sub-batch from its replicated HBM dataset copy, and pmeans
+# grads across processes. The replicated per-step losses must agree
+# bit-for-bit between the two processes (asserted by the parent test
+# comparing the printed vectors).
+from molkgnn_tpu.data.dataset import oversampling_weights  # noqa: E402
+from molkgnn_tpu.graphs.device_pack import (  # noqa: E402
+    DeviceDataset,
+    alias_sampler,
+    gather_batch,
+)
+from molkgnn_tpu.graphs.packed import PackedGraphs  # noqa: E402
+from molkgnn_tpu.parallel.data_parallel import shard_sample_steps  # noqa: E402
+
+dd_g = to_global(
+    DeviceDataset.from_packed(PackedGraphs.from_graphs(ds.graphs)), P()
+)
+labels = np.array([g.y for g in ds.graphs])
+consts_g = to_global(
+    (
+        jnp.arange(len(ds.graphs), dtype=jnp.int32),
+        jax.tree.map(jnp.asarray, alias_sampler(oversampling_weights(labels))),
+    ),
+    P(),
+)
+prog = shard_sample_steps(
+    trainer._train_step_fn, gather_batch, spec, mesh, 2, 2, 0x5A17
+)
+st_s, losses_s, edges_s = prog(to_global(trainer.state, P()), dd_g, *consts_g)
+losses_s = np.asarray(jax.device_get(losses_s))
+edges_s = np.asarray(jax.device_get(edges_s))
+assert np.all(np.isfinite(losses_s)), losses_s
+assert int(np.asarray(jax.device_get(st_s.step))) == 2
+print(
+    f"MULTIHOST-DEVSAMPLE-OK pid={pid} "
+    f"losses={losses_s.round(6).tolist()} edges={edges_s.tolist()}",
+    flush=True,
+)

@@ -62,3 +62,50 @@ def test_two_process_multihost_dp_step_matches_single_device():
     l0 = [x for x in outs[0].splitlines() if "MULTIHOST-OK" in x][0]
     l1 = [x for x in outs[1].splitlines() if "MULTIHOST-OK" in x][0]
     assert l0.split("loss=")[1] == l1.split("loss=")[1], (l0, l1)
+
+
+def test_two_process_multihost_devsample_agrees():
+    """The device-sampled DP path over the REAL 2-process mesh: both
+    processes must print finite, IDENTICAL replicated loss/edge vectors
+    (each global device draws its own ids; grads pmean across the gloo
+    transport). Runs inside the same worker as the DP-parity test, so this
+    asserts on its second output line."""
+    # (The worker runs both segments; reuse one spawn for both tests would
+    # couple them — spawn again, it is cheap.)
+    worker = os.path.join(os.path.dirname(__file__), "_multihost_worker.py")
+    port = _free_port()
+    env = dict(
+        os.environ,
+        JAX_PLATFORMS="cpu",
+        PALLAS_AXON_POOL_IPS="",
+        XLA_FLAGS="--xla_force_host_platform_device_count=2",
+    )
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, str(pid), "2", str(port)],
+            env=env,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            text=True,
+        )
+        for pid in range(2)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=360)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(out)
+    lines = []
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker {pid} failed:\n{out[-4000:]}"
+        marks = [
+            ln for ln in out.splitlines()
+            if ln.startswith("MULTIHOST-DEVSAMPLE-OK")
+        ]
+        assert len(marks) == 1, out[-4000:]
+        lines.append(marks[0].split(" ", 2)[2])  # strip the pid field
+    assert lines[0] == lines[1], lines
