@@ -282,17 +282,10 @@ def main(argv=None):
     if "--gnn_type" in argv:
         gnn_type = argv[argv.index("--gnn_type") + 1]
     args = build_parser(gnn_type).parse_args(argv)
-    if args.device_sampling and args.gnn_type == "chironet":
-        # Refuse rather than silently fall back to host sampling (ADVICE
-        # r3): a user must not believe they ran zero-host-input training
-        # when they did not. kgnn (incl. all model_parallel modes, r4:
-        # halo_sample_steps / hybrid_sample_steps) and the 3D point-cloud
-        # families (graphs/device_points.py, r4) support it; chironet's
-        # bespoke batches stay on the host loader.
-        raise SystemExit(
-            "--device_sampling is not supported for --gnn_type chironet"
-            " (no device-resident batch assembly for its batch family)"
-        )
+    # --device_sampling is supported for every gnn_type since r4: kgnn
+    # (graphs/device_pack, incl. all model_parallel modes), the 3D
+    # point-cloud families (graphs/device_points), and chironet
+    # (graphs/device_chiro). Unsupported combos raise in the Trainer.
 
     from molkgnn_tpu.training import GNNModel, TrainConfig, Trainer
 

@@ -291,17 +291,19 @@ class Trainer:
         self._device_data = None
         self._shard_spec = None
         self._gather_fn = None
-        # The device-resident input pipeline covers the kgnn family
-        # (collate=None -> graphs/device_pack) AND the 3D point-cloud
-        # families (PointBatchSpec -> graphs/device_points, r4); chironet's
-        # bespoke batches stay on the host loader.
-        point_family = False
+        # The device-resident input pipeline covers ALL families since
+        # r4: kgnn (collate=None -> graphs/device_pack), the 3D point-cloud
+        # families (PointBatchSpec -> graphs/device_points), and chironet
+        # (ChiroBatchSpec -> graphs/device_chiro).
+        point_family = chiro_family = False
         if collate is not None and config.use_device_data:
+            from molkgnn_tpu.graphs.chiro import ChiroBatchSpec
             from molkgnn_tpu.graphs.geometric import PointBatchSpec
 
             point_family = isinstance(spec, PointBatchSpec)
+            chiro_family = isinstance(spec, ChiroBatchSpec)
         if (
-            (collate is None or point_family)
+            (collate is None or point_family or chiro_family)
             and config.use_device_data
             and config.model_parallel is None
         ):
@@ -316,7 +318,7 @@ class Trainer:
                     PackedGraphs.from_graphs(dataset.graphs)
                 )
                 self._gather_fn = gather_batch
-            else:
+            elif point_family:
                 from molkgnn_tpu.graphs.device_points import (
                     DevicePointDataset,
                     gather_points,
@@ -326,6 +328,16 @@ class Trainer:
                     dataset.graphs, spec
                 )
                 self._gather_fn = gather_points
+            else:
+                from molkgnn_tpu.graphs.device_chiro import (
+                    DeviceChiroDataset,
+                    gather_chiro,
+                )
+
+                self._device_data = DeviceChiroDataset.from_graphs(
+                    dataset.graphs
+                )
+                self._gather_fn = gather_chiro
             self._eval_step_ids = self._build_eval_step_ids()
             self._eval_steps_scan = self._build_eval_steps_scan()
             if mesh is None:

@@ -119,3 +119,96 @@ def test_chironet_cmp_path(chiro_graphs):
     v = model.init(jax.random.key(1), batch)
     out = model.apply(v, batch)
     assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_device_gather_chiro_equals_host_pack(chiro_graphs):
+    """The chironet on-device assembly (graphs/device_chiro.gather_chiro)
+    must be BIT-identical to the host packer (chiro.batch_chiro) for the
+    same graphs and spec — node-offset rebasing for every index tuple and
+    ALPHA-offset rebasing for ls_map."""
+    import jax
+    import jax.numpy as jnp
+
+    from molkgnn_tpu.graphs.chiro import batch_chiro, chiro_spec_for_graphs
+    from molkgnn_tpu.graphs.device_chiro import (
+        DeviceChiroDataset,
+        gather_chiro,
+    )
+    from molkgnn_tpu.graphs.device_pack import pad_ids
+
+    spec = chiro_spec_for_graphs(chiro_graphs, batch_size=4)
+    dev = DeviceChiroDataset.from_graphs(chiro_graphs)
+    for ids in (np.array([5, 1, 3, 2]), np.array([4, 0])):
+        want = batch_chiro([chiro_graphs[i] for i in ids], spec)
+        got = jax.jit(gather_chiro, static_argnums=2)(
+            dev, jnp.asarray(pad_ids(ids, 4)), spec
+        )
+        for (ka, a), (kb, b) in zip(
+            jax.tree_util.tree_leaves_with_path(got),
+            jax.tree_util.tree_leaves_with_path(want),
+        ):
+            assert str(ka) == str(kb)
+            np.testing.assert_array_equal(
+                np.asarray(a), np.asarray(b), err_msg=str(ka)
+            )
+
+
+def test_chironet_device_resident_devsample_fit(tmp_path, chiro_graphs):
+    """chironet rides the device-resident pipeline too (r4): a fit with
+    device_sampling + scan fusion runs with zero per-step host input,
+    exact step budget, finite losses, and per-seed determinism."""
+    import dataclasses as _dc
+
+    import jax
+
+    from molkgnn_tpu.data.dataset import Dataset, QSAR_METRICS
+    from molkgnn_tpu.graphs.device_chiro import DeviceChiroDataset
+    from molkgnn_tpu.models.registry import get_family
+    from molkgnn_tpu.training import GNNModel, TrainConfig, Trainer
+
+    graphs = [
+        _dc.replace(g, idx=i, y=float(i % 2))
+        for i, g in enumerate(list(chiro_graphs) * 4)  # 24 molecules
+    ]
+    ds = Dataset(
+        name="chiro-devsample",
+        graphs=graphs,
+        split={
+            "train": np.arange(16),
+            "valid": np.arange(16, 20),
+            "test": np.arange(20, 24),
+        },
+        metrics=list(QSAR_METRICS),
+        loss_name="bce_with_logits",
+    )
+    fam = get_family("chironet")
+    spec = fam.make_spec(graphs, batch_size=4)
+    model = GNNModel(
+        encoder=fam.make_encoder(
+            f_h=16, f_h_econv=16, econv_mlp_hidden=(8,), gat_hidden=(16,),
+            gat_heads=2, hidden_d=(8,), hidden_phi=(8,), hidden_c=(8,),
+            hidden_shift=(8,), hidden_alpha=(8,), f_z=(8, 8, 8),
+            output_mode="both",
+        ),
+        ffn_dropout_rate=0.0,
+    )
+
+    def run(sub):
+        cfg = TrainConfig(
+            batch_size=4, max_epochs=2, warmup_iterations=3,
+            oversample=True, device_sampling=True, scan_steps=2,
+            progress=False, log_dir=str(tmp_path / sub), tot_iterations=20,
+        )
+        t = Trainer(model, ds, spec, cfg, collate=fam.collate)
+        assert isinstance(t._device_data, DeviceChiroDataset)
+        t.fit()
+        return t
+
+    t1 = run("a")
+    assert int(np.asarray(t1.state.step)) == 2 * (-(-16 // 4))
+    assert all(np.isfinite(h["train_loss"]) for h in t1.history)
+    t2 = run("b")
+    for a, b in zip(
+        jax.tree.leaves(t1.state.params), jax.tree.leaves(t2.state.params)
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
