@@ -117,6 +117,108 @@ class Predictor:
         return out
 
     # ------------------------------------------------------------------
+    def _device_pipeline(self):
+        """(dataset_builder, gather_fn) for this spec's batch family —
+        the same spec-type dispatch the Trainer uses (r4: all five
+        families are device-resident)."""
+        from molkgnn_tpu.graphs.batch import BatchSpec as _KgnnSpec
+        from molkgnn_tpu.graphs.chiro import ChiroBatchSpec
+        from molkgnn_tpu.graphs.geometric import PointBatchSpec
+
+        if isinstance(self.spec, PointBatchSpec):
+            from molkgnn_tpu.graphs.device_points import (
+                DevicePointDataset,
+                gather_points,
+            )
+
+            return (
+                lambda graphs: DevicePointDataset.from_graphs(
+                    graphs, self.spec
+                ),
+                gather_points,
+            )
+        if isinstance(self.spec, ChiroBatchSpec):
+            from molkgnn_tpu.graphs.device_chiro import (
+                DeviceChiroDataset,
+                gather_chiro,
+            )
+
+            return DeviceChiroDataset.from_graphs, gather_chiro
+        assert isinstance(self.spec, _KgnnSpec), type(self.spec)
+        from molkgnn_tpu.graphs.device_pack import (
+            DeviceDataset,
+            gather_batch,
+        )
+        from molkgnn_tpu.graphs.packed import PackedGraphs
+
+        return (
+            lambda graphs: DeviceDataset.from_packed(
+                PackedGraphs.from_graphs(graphs)
+            ),
+            gather_batch,
+        )
+
+    def screen_library(
+        self,
+        graphs: Sequence[MolGraph],
+        probabilities: bool = False,
+        slab: int = 100_000,
+    ) -> np.ndarray:
+        """Virtual-screening scoring of an entire molecule library — the
+        reference's actual production use (ranking PubChem HTS libraries
+        by score, /root/reference/README.md:4). Device-resident: each slab
+        of molecules is flat-packed into HBM ONCE, every padded batch is
+        assembled on device, and the whole slab scores in one scanned
+        dispatch + one readback — no per-chunk host collation
+        (``predict_graphs``'s regime) and no per-batch dispatch. Programs
+        cache per (slab batch count), so a full library pays one compile.
+        """
+        build, gather = self._device_pipeline()
+        from molkgnn_tpu.graphs.device_pack import pad_ids
+
+        model, spec = self.model, self.spec
+        b = spec.num_graphs
+        cache = getattr(self, "_screen_programs", None)
+        if cache is None:
+            cache = self._screen_programs = {}
+
+        def make_prog():
+            def scan_scores(variables, data, idm):
+                def body(_, ids):
+                    pred, _ = model.apply(
+                        variables, gather(data, ids, spec), train=False
+                    )
+                    return None, pred
+
+                _, preds = jax.lax.scan(body, None, idm)
+                return preds
+
+            return jax.jit(scan_scores)
+
+        outs = []
+        for s0 in range(0, len(graphs), slab):
+            chunk = list(graphs[s0 : s0 + slab])
+            data = build(chunk)
+            ids = np.arange(len(chunk), dtype=np.int32)
+            idm = np.stack(
+                [
+                    pad_ids(ids[s : s + b], b)
+                    for s in range(0, len(chunk), b)
+                ]
+            )
+            prog = cache.setdefault(idm.shape[0], make_prog())
+            preds = np.asarray(
+                prog(self.variables, data, jnp.asarray(idm))
+            ).reshape(-1)
+            outs.append(preds[(idm >= 0).reshape(-1)])
+        out = np.concatenate(outs) if outs else np.zeros((0,))
+        if probabilities:
+            from molkgnn_tpu.training.metrics import sigmoid
+
+            out = sigmoid(out)
+        return out
+
+    # ------------------------------------------------------------------
     def export(self, path: str) -> None:
         """AOT-export the compiled forward (StableHLO via jax.export) plus
         the parameters: a deployment artifact loadable without the model

@@ -82,3 +82,41 @@ def test_export_roundtrip(tmp_path):
     out, emb = call(jax.tree.map(lambda a: np.asarray(a), batch))
     got = np.asarray(out)[np.asarray(batch.graph_mask)]
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_screen_library_matches_predict_graphs():
+    """Device-resident library screening (Predictor.screen_library) must
+    produce EXACTLY predict_graphs' scores (same compiled math via the
+    bit-identical on-device assembly), for whole and ragged libraries and
+    across slab boundaries."""
+    import jax
+
+    from molkgnn_tpu.graphs import batch_graphs
+
+    ds = make_synthetic_dataset(seed=21, num_graphs=50)
+    spec = spec_for_graphs(ds.graphs, batch_size=8)
+    model = GNNModel(
+        encoder=MolKGNNNet(
+            num_layers=1, kernels_1hop=(2, 3, 4, 5),
+            kernels_nhop=(2, 3, 4, 5), graph_embedding_dim=8,
+        ),
+        ffn_dropout_rate=0.0,
+    )
+    batch = batch_graphs(ds.graphs[:8], spec)
+    variables = jax.jit(lambda r, b: model.init(r, b, train=False))(
+        jax.random.key(0), batch
+    )
+    pred = Predictor(
+        model, variables["params"], variables.get("batch_stats", {}), spec
+    )
+    want = pred.predict_graphs(ds.graphs)
+    got = pred.screen_library(ds.graphs)
+    np.testing.assert_allclose(got, want, rtol=0, atol=0)
+    # Ragged tail + tiny slabs exercising the slab loop and program cache.
+    got2 = pred.screen_library(ds.graphs[:19], slab=7)
+    want2 = pred.predict_graphs(ds.graphs[:19])
+    assert got2.shape == (19,)
+    np.testing.assert_allclose(got2, want2, rtol=2e-5, atol=1e-6)
+    assert len(pred._screen_programs) >= 1
+    probs = pred.screen_library(ds.graphs[:5], probabilities=True)
+    assert np.all((probs >= 0) & (probs <= 1))
