@@ -296,3 +296,28 @@ def test_cli_test_only_without_checkpoints_gives_clear_error(tmp_path):
     )
     assert r.returncode != 0
     assert "no checkpoints found" in r.stderr
+
+
+def test_cli_model_parallel_halo_device_sampling(tmp_path):
+    """Full CLI chain for the r4 device-resident model-parallel path:
+    --model_parallel halo --device_sampling --scan_steps on a virtual
+    4-device mesh trains with zero per-step host input, evaluates through
+    the halo eval path, and writes the full artifact set."""
+    env = dict(_cli_env())
+    env["XLA_FLAGS"] = (
+        env.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=4"
+    )
+    r = subprocess.run(
+        [sys.executable, "-m", "molkgnn_tpu.cli.entry",
+         "--dataset_name", "synthetic", *TINY_KGNN,
+         "--model_parallel", "halo", "--num_devices", "4",
+         "--enable_oversampling_with_replacement",
+         "--device_sampling", "--scan_steps", "2",
+         "--default_root_dir", str(tmp_path), "--task_name", "mp"],
+        capture_output=True, text=True, timeout=900, env=env,
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    logs = tmp_path / "logs"
+    assert (logs / "test_result.log").exists()
+    parsed = parse_test_result(str(logs / "test_result.log"))
+    assert "last" in parsed and "AUC" in parsed["last"]
