@@ -285,7 +285,15 @@ def main(argv=None):
     # --device_sampling is supported for every gnn_type since r4: kgnn
     # (graphs/device_pack, incl. all model_parallel modes), the 3D
     # point-cloud families (graphs/device_points), and chironet
-    # (graphs/device_chiro). Unsupported combos raise in the Trainer.
+    # (graphs/device_chiro). The one prerequisite is surfaced HERE with
+    # the flag's own vocabulary (the Trainer's error mentions neither
+    # flag name).
+    if args.device_sampling and not args.enable_oversampling_with_replacement:
+        raise SystemExit(
+            "--device_sampling reproduces the oversampling sampler on"
+            " device; pass --enable_oversampling_with_replacement with it"
+            " (shuffle-without-replacement epochs stay on the host path)"
+        )
 
     from molkgnn_tpu.training import GNNModel, TrainConfig, Trainer
 

@@ -123,57 +123,71 @@ def gather_chiro(
     ids_c = jnp.where(valid, ids, 0).astype(jnp.int32)
 
     def seg(counts, starts_, cap):
+        """(src, gop, mask, batch-local offsets per graph) for one ranged
+        segment; the offsets rebase this kind's indices in OTHER segments
+        (e.g. alpha offsets feed ls_map)."""
         lens = jnp.where(valid, counts[ids_c], 0)
-        off = jnp.cumsum(lens) - lens  # batch-local offsets per graph
+        off = jnp.cumsum(lens) - lens
         src, gop, mask = _ranged_gather(ids_c, lens, starts_, cap)
         return src, gop, mask, off
 
-    nsrc, ngop, nmask, _ = seg(
+    def pull(flat, src, mask):
+        """Masked gather that tolerates a dataset-wide EMPTY flat array:
+        a gather from shape (0, ...) is invalid even fully masked (the
+        same trace-time failure gather_batch guards against for empty
+        degree buckets), so emit the masked fill directly — a static
+        decision, dataset shapes are trace-time constants. The fill is a
+        zero OF THE FLAT DTYPE (a float literal would silently promote
+        the int32 index arrays)."""
+        if flat.shape[0] == 0:
+            return jnp.zeros(src.shape + flat.shape[1:], flat.dtype)
+        expand = (slice(None),) + (None,) * (flat.ndim - 1)
+        return jnp.where(mask[expand], flat[src], jnp.zeros((), flat.dtype))
+
+    nsrc, ngop, nmask, boff = seg(
         data.node_count, data.node_start, spec.num_nodes
     )
-    nlens = jnp.where(valid, data.node_count[ids_c], 0)
-    boff = jnp.cumsum(nlens) - nlens
-    x = jnp.where(nmask[:, None], data.x[nsrc], 0.0)
+    x = pull(data.x, nsrc, nmask)
     gid = jnp.where(nmask, ngop, 0).astype(jnp.int32)
 
     esrc_i, egop, emask, _ = seg(
         data.edge_count, data.edge_start, spec.num_edges
     )
-    pair = data.edge_local[esrc_i] + boff[egop][:, None]
-    pair = jnp.where(emask[:, None], pair, 0)
-    eattr = jnp.where(emask[:, None], data.edge_attr[esrc_i], 0.0)
+    pair = pull(data.edge_local, esrc_i, emask) + jnp.where(
+        emask, boff[egop], 0
+    )[:, None].astype(jnp.int32)
+    eattr = pull(data.edge_attr, esrc_i, emask)
+
+    def idx_seg(flat_idx, src, gop, mask):
+        off = jnp.where(mask, boff[gop], 0)[:, None].astype(jnp.int32)
+        return pull(flat_idx, src, mask) + off
 
     dsrc, dgop, dmask, _ = seg(
         data.dist_count, data.dist_start, spec.num_dist
     )
-    dvals = jnp.where(dmask, data.dist_val[dsrc], 0.0)
-    didx = data.dist_local[dsrc] + boff[dgop][:, None]
-    didx = jnp.where(dmask[:, None], didx, 0).astype(jnp.int32)
+    dvals = pull(data.dist_val, dsrc, dmask)
+    didx = idx_seg(data.dist_local, dsrc, dgop, dmask)
 
     asrc, agop, amask, _ = seg(
         data.ang_count, data.ang_start, spec.num_angles
     )
-    avals = jnp.where(amask, data.ang_val[asrc], 0.0)
-    aidx = data.ang_local[asrc] + boff[agop][:, None]
-    aidx = jnp.where(amask[:, None], aidx, 0).astype(jnp.int32)
+    avals = pull(data.ang_val, asrc, amask)
+    aidx = idx_seg(data.ang_local, asrc, agop, amask)
 
-    # Alpha offsets are needed by the dihedral ls_map rebasing.
-    allens = jnp.where(valid, data.alpha_count[ids_c], 0)
-    aloff = jnp.cumsum(allens) - allens
-    alsrc, algop, almask, _ = seg(
+    alsrc, algop, almask, aloff = seg(
         data.alpha_count, data.alpha_start, spec.num_alpha
     )
-    alidx = data.alpha_local[alsrc] + boff[algop][:, None]
-    alidx = jnp.where(almask[:, None], alidx, 0).astype(jnp.int32)
+    alidx = idx_seg(data.alpha_local, alsrc, algop, almask)
 
     ssrc, sgop, smask, _ = seg(
         data.dih_count, data.dih_start, spec.num_dihedrals
     )
-    svals = jnp.where(smask, data.dih_val[ssrc], 0.0)
-    sidx = data.dih_local[ssrc] + boff[sgop][:, None]
-    sidx = jnp.where(smask[:, None], sidx, 0).astype(jnp.int32)
-    lsm = data.ls_local[ssrc] + aloff[sgop]
-    lsm = jnp.where(smask, lsm, 0).astype(jnp.int32)
+    svals = pull(data.dih_val, ssrc, smask)
+    sidx = idx_seg(data.dih_local, ssrc, sgop, smask)
+    # ls_map rebases by the batch ALPHA offsets, not node offsets.
+    lsm = pull(data.ls_local, ssrc, smask) + jnp.where(
+        smask, aloff[sgop], 0
+    ).astype(jnp.int32)
 
     y = jnp.where(valid, data.y[ids_c], 0.0)
 

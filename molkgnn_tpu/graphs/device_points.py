@@ -135,8 +135,15 @@ def gather_points(
     esrc_idx, egop, emask = _ranged_gather(
         ids_c, elens, data.edge_start, spec.num_edges
     )
-    pair = data.edge_local[esrc_idx] + boff[egop][:, None]
-    pair = jnp.where(emask[:, None], pair, 0)
+    if data.edge_local.shape[0] == 0:
+        # No radius edge anywhere in the dataset (tiny cutoff / single-
+        # heavy-atom fragments): a gather from the empty flat array is
+        # invalid even fully masked — emit the all-masked layout directly
+        # (static decision; same guard as the tri/quad segments below).
+        pair = jnp.zeros((spec.num_edges, 2), jnp.int32)
+    else:
+        pair = data.edge_local[esrc_idx] + boff[egop][:, None]
+        pair = jnp.where(emask[:, None], pair, 0)
 
     def tri_arrays():
         cap = spec.num_triplets

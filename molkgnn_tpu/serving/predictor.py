@@ -158,6 +158,58 @@ class Predictor:
             gather_batch,
         )
 
+    def _batch_resource_counts(self, graphs):
+        """Per-graph resource counts + the spec's capacity vector for this
+        batch family — the host-side overflow check the on-device gather
+        cannot do (device_pack.py contract: 'the host sampler is
+        responsible for honoring the spec')."""
+        from molkgnn_tpu.graphs.chiro import ChiroBatchSpec
+        from molkgnn_tpu.graphs.geometric import (
+            PointBatchSpec,
+            molecule_geometry,
+        )
+
+        spec = self.spec
+        if isinstance(spec, PointBatchSpec):
+            rows = []
+            for g in graphs:
+                e, t, q = molecule_geometry(
+                    g, spec.cutoff, spec.with_triplets, spec.with_torsion
+                )
+                rows.append(
+                    (g.num_nodes, e.shape[1], t.shape[1], q.shape[1])
+                )
+            caps = (
+                spec.num_nodes, spec.num_edges, spec.num_triplets,
+                spec.num_quads,
+            )
+            names = ("nodes", "edges", "triplets", "quads")
+        elif isinstance(spec, ChiroBatchSpec):
+            rows = [
+                (
+                    g.num_nodes, g.edge_index.shape[1],
+                    g.distances.shape[0], g.angles.shape[0],
+                    g.dihedrals.shape[0], g.alpha_index.shape[1],
+                )
+                for g in graphs
+            ]
+            caps = (
+                spec.num_nodes, spec.num_edges, spec.num_dist,
+                spec.num_angles, spec.num_dihedrals, spec.num_alpha,
+            )
+            names = ("nodes", "edges", "dist", "angles", "dihedrals", "alpha")
+        else:
+            rows = [
+                (g.num_nodes, g.num_edges)
+                + tuple(g.fields[d].count for d in range(1, 5))
+                for g in graphs
+            ]
+            caps = (spec.num_nodes, spec.num_edges) + tuple(
+                spec.deg_capacity
+            )
+            names = ("nodes", "edges", "deg1", "deg2", "deg3", "deg4")
+        return np.asarray(rows, np.int64), np.asarray(caps, np.int64), names
+
     def screen_library(
         self,
         graphs: Sequence[MolGraph],
@@ -170,19 +222,25 @@ class Predictor:
         of molecules is flat-packed into HBM ONCE, every padded batch is
         assembled on device, and the whole slab scores in one scanned
         dispatch + one readback — no per-chunk host collation
-        (``predict_graphs``'s regime) and no per-batch dispatch. Programs
-        cache per (slab batch count), so a full library pays one compile.
+        (``predict_graphs``'s regime) and no per-batch dispatch.
+
+        Every batch is host-checked against the spec's capacities FIRST
+        (the on-device gather silently truncates on overflow — e.g. a
+        library molecule larger than anything in the spec's training set);
+        an overflowing batch raises like the host packer would. Compiles:
+        jit caches by the slab's flat-array shapes, so equal-size slabs of
+        a homogeneous library reuse one program; heterogeneous slabs each
+        pay a compile (trailing partial slab always does).
         """
         build, gather = self._device_pipeline()
         from molkgnn_tpu.graphs.device_pack import pad_ids
 
         model, spec = self.model, self.spec
         b = spec.num_graphs
-        cache = getattr(self, "_screen_programs", None)
-        if cache is None:
-            cache = self._screen_programs = {}
 
-        def make_prog():
+        prog = getattr(self, "_screen_prog", None)
+        if prog is None:
+
             def scan_scores(variables, data, idm):
                 def body(_, ids):
                     pred, _ = model.apply(
@@ -193,12 +251,12 @@ class Predictor:
                 _, preds = jax.lax.scan(body, None, idm)
                 return preds
 
-            return jax.jit(scan_scores)
+            prog = self._screen_prog = jax.jit(scan_scores)
 
+        counts, caps, names = self._batch_resource_counts(graphs)
         outs = []
         for s0 in range(0, len(graphs), slab):
             chunk = list(graphs[s0 : s0 + slab])
-            data = build(chunk)
             ids = np.arange(len(chunk), dtype=np.int32)
             idm = np.stack(
                 [
@@ -206,7 +264,22 @@ class Predictor:
                     for s in range(0, len(chunk), b)
                 ]
             )
-            prog = cache.setdefault(idm.shape[0], make_prog())
+            for row in idm:
+                sums = counts[s0 + row[row >= 0]].sum(axis=0)
+                if np.any(sums > caps):
+                    over = [
+                        f"{n}: {int(v)} > cap {int(c)}"
+                        for n, v, c in zip(names, sums, caps)
+                        if v > c
+                    ]
+                    raise ValueError(
+                        "screen_library: batch exceeds the spec's"
+                        f" capacities ({'; '.join(over)}) — the library"
+                        " contains molecules larger than the spec was"
+                        " built for; rebuild the spec over the library"
+                        " (spec_for_graphs / point_spec_for_graphs)"
+                    )
+            data = build(chunk)
             preds = np.asarray(
                 prog(self.variables, data, jnp.asarray(idm))
             ).reshape(-1)

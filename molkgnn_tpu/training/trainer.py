@@ -872,7 +872,7 @@ class Trainer:
         full-model forward; the last group is padded by repeating its
         final batch (duplicate rows discarded), one readback at the end."""
         nd = int(self.mesh.shape["data"])
-        key = ("hybrid", tuple(g.idx for g in graphs))
+        key = self._eval_cache_key("hybrid", graphs)
         hit = self._eval_part_cache.get(key)
         if hit is None or hit[0] != repr(self._hybrid_caps):
             batches = list(
@@ -893,7 +893,7 @@ class Trainer:
                 np.concatenate([np.asarray(b.graph_mask) for b in batches]),
                 np.concatenate([np.asarray(b.y) for b in batches]),
             )
-            self._eval_part_cache[key] = hit
+            self._eval_cache_put(key, hit)
         _, groups, mask, trues = hit
         dev_preds = []
         for hb, n_real in groups:
@@ -904,13 +904,37 @@ class Trainer:
         all_pred = np.asarray(jnp.concatenate(dev_preds))
         return trues[mask], all_pred[mask]
 
+    # Bound the partition cache to the run's eval splits (valid, test,
+    # optionally train) — each entry pins a full split's partitioned
+    # HaloBatches in host RAM, which at real-AID scale is 100s of MB.
+    _EVAL_CACHE_MAX = 3
+
+    def _eval_cache_key(self, kind, graphs):
+        idxs = tuple(g.idx for g in graphs)
+        if any(i < 0 for i in idxs):
+            # idx defaults to -1 for user-built graphs: two same-length
+            # splits would collide and silently swap predictions. No
+            # reliable identity -> no caching.
+            return None
+        return (kind, idxs)
+
+    def _eval_cache_put(self, key, hit):
+        if key is None:
+            return
+        if (
+            key not in self._eval_part_cache
+            and len(self._eval_part_cache) >= self._EVAL_CACHE_MAX
+        ):
+            self._eval_part_cache.pop(next(iter(self._eval_part_cache)))
+        self._eval_part_cache[key] = hit
+
     def _predict_halo(self, graphs) -> tuple[np.ndarray, np.ndarray]:
         """Model-parallel evaluation: each eval batch goes through the
         halo-partitioned full-model forward (same pinned capacities as
         training); logits are replicated, one readback at the end. The
         split's partitions are cached for the run (see
         ``_eval_part_cache``)."""
-        key = ("halo", tuple(g.idx for g in graphs))
+        key = self._eval_cache_key("halo", graphs)
         hit = self._eval_part_cache.get(key)
         if hit is None or hit[0] != repr(self._halo_caps):
             loader = GraphLoader(
@@ -924,7 +948,7 @@ class Trainer:
                 np.concatenate([np.asarray(b.graph_mask) for b in batches]),
                 np.concatenate([np.asarray(b.y) for b in batches]),
             )
-            self._eval_part_cache[key] = hit
+            self._eval_cache_put(key, hit)
         _, parts, mask, trues = hit
         dev_preds = [
             self._halo_eval(self.state.params, self.state.batch_stats, hb)
@@ -1012,6 +1036,25 @@ class Trainer:
             for sig, h in old_handlers.items():
                 _signal.signal(sig, h)
 
+    def _run_sample_epoch(self, steps: int, losses: list) -> None:
+        """One device-sampled epoch: ``steps`` optimizer steps in
+        scan_steps-sized fused dispatches (plus one remainder program),
+        zero per-step host input. Shared by the single-device, DP, halo,
+        and hybrid fit branches — only the step budget differs."""
+        tids, table = self._sample_consts
+        k = max(self.config.scan_steps, 1)
+        nblocks, rem = divmod(steps, k)
+        for _ in range(nblocks):
+            self.state, loss_k, _ = self._train_steps_sample(k)(
+                self.state, self._device_data, tids, table
+            )
+            losses.append(loss_k)
+        if rem:
+            self.state, loss_r, _ = self._train_steps_sample(rem)(
+                self.state, self._device_data, tids, table
+            )
+            losses.append(loss_r)
+
     def _fit_loop(self, start_epoch, stop) -> List[Dict[str, float]]:
         cfg = self.config
         train_graphs = self.dataset.subset("train")
@@ -1045,19 +1088,7 @@ class Trainer:
                     # Device-resident halo epoch: zero per-step host input
                     # (halo_sample_steps); same optimizer-step budget as
                     # the host-fed path below.
-                    tids, table = self._sample_consts
-                    k = max(cfg.scan_steps, 1)
-                    nblocks, rem = divmod(steps_per_epoch, k)
-                    for _ in range(nblocks):
-                        self.state, loss_k, _ = self._train_steps_sample(k)(
-                            self.state, self._device_data, tids, table
-                        )
-                        losses.append(loss_k)
-                    if rem:
-                        self.state, loss_r, _ = self._train_steps_sample(
-                            rem
-                        )(self.state, self._device_data, tids, table)
-                        losses.append(loss_r)
+                    self._run_sample_epoch(steps_per_epoch, losses)
                 else:
                     # Model-parallel (halo) training: every batch is node-
                     # sharded over the whole mesh; one optimizer step per
@@ -1073,20 +1104,7 @@ class Trainer:
                     # Device-resident hybrid epoch: each step consumes
                     # nd*B on-device draws (same global-batch semantics
                     # and step budget as the host-fed grouping below).
-                    tids, table = self._sample_consts
-                    g = max(steps_per_epoch // nd, 1)
-                    k = max(cfg.scan_steps, 1)
-                    nblocks, rem = divmod(g, k)
-                    for _ in range(nblocks):
-                        self.state, loss_k, _ = self._train_steps_sample(k)(
-                            self.state, self._device_data, tids, table
-                        )
-                        losses.append(loss_k)
-                    if rem:
-                        self.state, loss_r, _ = self._train_steps_sample(
-                            rem
-                        )(self.state, self._device_data, tids, table)
-                        losses.append(loss_r)
+                    self._run_sample_epoch(max(steps_per_epoch // nd, 1), losses)
                 else:
                     # Hybrid 2D training: nd loader batches per optimizer
                     # step (global batch nd*B), each node-sharded over its
@@ -1109,19 +1127,7 @@ class Trainer:
                     # unmasked batch, so up to B-1 extra i.i.d. draws per
                     # epoch (distribution unchanged). Only the loss
                     # vectors come back.
-                    tids, table = self._sample_consts
-                    k = max(cfg.scan_steps, 1)
-                    nblocks, rem = divmod(steps_per_epoch, k)
-                    for _ in range(nblocks):
-                        self.state, loss_k, _ = self._train_steps_sample(k)(
-                            self.state, self._device_data, tids, table
-                        )
-                        losses.append(loss_k)
-                    if rem:
-                        self.state, loss_r, _ = self._train_steps_sample(
-                            rem
-                        )(self.state, self._device_data, tids, table)
-                        losses.append(loss_r)
+                    self._run_sample_epoch(steps_per_epoch, losses)
                 elif cfg.scan_steps > 1:
                     blocks = np.stack(list(self._epoch_id_batches(cfg)))
                     k = cfg.scan_steps
@@ -1155,20 +1161,7 @@ class Trainer:
                 # (zero per-step host input at any device count); same
                 # optimizer-step budget as the host DP path (its trailing
                 # sub-ndev remainder is dropped there too).
-                tids, table = self._sample_consts
-                g = max(steps_per_epoch // ndev, 1)
-                k = max(cfg.scan_steps, 1)
-                nblocks, rem = divmod(g, k)
-                for _ in range(nblocks):
-                    self.state, loss_k, _ = self._train_steps_sample(k)(
-                        self.state, self._device_data, tids, table
-                    )
-                    losses.append(loss_k)
-                if rem:
-                    self.state, loss_r, _ = self._train_steps_sample(rem)(
-                        self.state, self._device_data, tids, table
-                    )
-                    losses.append(loss_r)
+                self._run_sample_epoch(max(steps_per_epoch // ndev, 1), losses)
             elif self._device_data is not None:
                 # Device-resident DP: each optimizer step consumes ndev
                 # sub-batches of B ids (global batch = ndev*B, same

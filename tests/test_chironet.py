@@ -148,6 +148,9 @@ def test_device_gather_chiro_equals_host_pack(chiro_graphs):
             jax.tree_util.tree_leaves_with_path(want),
         ):
             assert str(ka) == str(kb)
+            assert np.asarray(a).dtype == np.asarray(b).dtype, (
+                ka, np.asarray(a).dtype, np.asarray(b).dtype
+            )
             np.testing.assert_array_equal(
                 np.asarray(a), np.asarray(b), err_msg=str(ka)
             )

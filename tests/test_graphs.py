@@ -180,6 +180,9 @@ def test_device_gather_points_equals_host_pack():
                 jax.tree_util.tree_leaves_with_path(want),
             ):
                 assert str(ka) == str(kb)
+                assert np.asarray(a).dtype == np.asarray(b).dtype, (
+                    ka, np.asarray(a).dtype, np.asarray(b).dtype
+                )
                 np.testing.assert_array_equal(
                     np.asarray(a), np.asarray(b), err_msg=f"{kw} {ka}"
                 )

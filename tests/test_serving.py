@@ -117,6 +117,41 @@ def test_screen_library_matches_predict_graphs():
     want2 = pred.predict_graphs(ds.graphs[:19])
     assert got2.shape == (19,)
     np.testing.assert_allclose(got2, want2, rtol=2e-5, atol=1e-6)
-    assert len(pred._screen_programs) >= 1
+    assert pred._screen_prog is not None  # one jitted program, shape-cached
     probs = pred.screen_library(ds.graphs[:5], probabilities=True)
     assert np.all((probs >= 0) & (probs <= 1))
+
+
+def test_screen_library_raises_on_overflowing_batch():
+    """The device gather cannot detect overflow, so screen_library must
+    host-check every batch against the spec and raise (like the host
+    packer) instead of silently truncating scores for libraries with
+    molecules larger than the spec's source set."""
+    import jax
+
+    from molkgnn_tpu.graphs import batch_graphs
+
+    ds = make_synthetic_dataset(seed=22, num_graphs=40)
+    # Spec built over the SMALLEST molecules only -> larger library
+    # members overflow it.
+    small = sorted(ds.graphs, key=lambda g: g.num_nodes)[:16]
+    spec = spec_for_graphs(small, batch_size=8)
+    model = GNNModel(
+        encoder=MolKGNNNet(
+            num_layers=1, kernels_1hop=(2, 2, 2, 2),
+            kernels_nhop=(2, 2, 2, 2), graph_embedding_dim=8,
+        ),
+        ffn_dropout_rate=0.0,
+    )
+    batch = batch_graphs(small[:8], spec)
+    variables = jax.jit(lambda r, b: model.init(r, b, train=False))(
+        jax.random.key(0), batch
+    )
+    pred = Predictor(
+        model, variables["params"], variables.get("batch_stats", {}), spec
+    )
+    big_first = sorted(ds.graphs, key=lambda g: -g.num_nodes)
+    import pytest
+
+    with pytest.raises(ValueError, match="exceeds the spec"):
+        pred.screen_library(big_first)
