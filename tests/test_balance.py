@@ -15,6 +15,8 @@ batches occupy only ~55% of it; dealing the epoch's ids by size lets a
     caller's order, and seeded runs are deterministic.
 """
 
+import tempfile
+
 import numpy as np
 import pytest
 
@@ -116,8 +118,7 @@ def test_trainer_balanced_batches_end_to_end(ds):
             progress=False,
             seed=seed,
             balanced_batches=balanced,
-            scan_steps=2,
-        )
+            scan_steps=2, log_dir=tempfile.mkdtemp(prefix="mkt_"),)
         return Trainer(model, ds, spec, cfg)
 
     tight = spec_for_dataset(ds, 32, seed=0)
@@ -161,8 +162,7 @@ def test_trainer_balanced_is_deterministic(ds):
             max_epochs=1,
             warmup_iterations=10,
             progress=False,
-            balanced_batches=True,
-        )
+            balanced_batches=True, log_dir=tempfile.mkdtemp(prefix="mkt_"),)
         tr = Trainer(model, ds, tight, cfg)
         return tr.fit()[-1]
 
@@ -186,7 +186,6 @@ def test_balanced_requires_device_data(ds):
     )
     cfg = TrainConfig(
         batch_size=32, progress=False, balanced_batches=True,
-        use_device_data=False,
-    )
+        use_device_data=False, log_dir=tempfile.mkdtemp(prefix="mkt_"),)
     with pytest.raises(ValueError, match="device-data"):
         Trainer(model, ds, tight, cfg)

@@ -9,6 +9,8 @@ distance; only orientation differs).
 
 import dataclasses
 
+import tempfile
+
 import numpy as np
 import pytest
 
@@ -69,8 +71,7 @@ def test_learns_neighborhood_motif():
     )
     cfg = TrainConfig(
         batch_size=24, max_epochs=30, peak_lr=1e-2, warmup_iterations=10,
-        weight_decay=1e-4, oversample=False, progress=False,
-    )
+        weight_decay=1e-4, oversample=False, progress=False, log_dir=tempfile.mkdtemp(prefix="mkt_"),)
     trainer = Trainer(model, ds, spec, cfg)
     trainer.fit()
     auc = max(h["AUC"] for h in trainer.history)
@@ -112,8 +113,7 @@ def test_learns_chirality_rule():
     )
     cfg = TrainConfig(
         batch_size=24, max_epochs=40, peak_lr=1e-2, warmup_iterations=10,
-        weight_decay=0.0, oversample=False, progress=False,
-    )
+        weight_decay=0.0, oversample=False, progress=False, log_dir=tempfile.mkdtemp(prefix="mkt_"),)
     trainer = Trainer(model, ds, spec, cfg)
     trainer.fit()
     auc = max(h["AUC"] for h in trainer.history)
