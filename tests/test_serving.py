@@ -1,5 +1,7 @@
 """Serving path + determinism tests."""
 
+import os
+
 import numpy as np
 
 from molkgnn_tpu.data.dataset import make_synthetic_dataset
@@ -155,3 +157,52 @@ def test_screen_library_raises_on_overflowing_batch():
 
     with pytest.raises(ValueError, match="exceeds the spec"):
         pred.screen_library(big_first)
+
+
+def test_molkgnn_screen_cli_scores_sdf(tmp_path):
+    """The deployment loop closes without model code: train -> export ->
+    `molkgnn-screen` scores an SDF library (with an unparseable record
+    scoring NaN at its preserved position) into a CSV."""
+    import subprocess
+    import sys
+
+    from molkgnn_tpu.chem.embed import embed_molecule
+    from molkgnn_tpu.chem.sdf import write_sdf
+    from molkgnn_tpu.chem.smiles import parse_smiles
+
+    ds, trainer = _trained(tmp_path)
+    pred = Predictor.from_trainer(trainer)
+    art = tmp_path / "model.mkx"
+    pred.export(str(art))
+
+    def mk(smi, i):
+        m = parse_smiles(smi, add_hs=True)
+        pos = embed_molecule(m, seed=i, iterations=40)
+        for k, a in enumerate(m.atoms):
+            a.x, a.y, a.z = map(float, pos[k])
+        return m
+
+    sdf = tmp_path / "lib.sdf"
+    write_sdf(str(sdf), [mk(s, i) for i, s in enumerate(["CCO", "CCN", "CCC"])])
+    # Append a corrupt record: parse failure must yield a NaN row.
+    with open(sdf, "a") as f:
+        f.write("garbage\n\n\n  0  0\nM  END\n$$$$\n")
+
+    out = tmp_path / "scores.csv"
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    r = subprocess.run(
+        [sys.executable, "-m", "molkgnn_tpu.cli.screen",
+         "--exported", str(art), "--sdf", str(sdf), "--out", str(out),
+         "--probabilities"],
+        capture_output=True, text=True, timeout=300, env=env,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    lines = out.read_text().strip().splitlines()
+    assert lines[0] == "record_index,score"
+    assert len(lines) == 5  # 4 records
+    vals = [ln.split(",")[1] for ln in lines[1:]]
+    assert vals[3] == ""  # corrupt record -> NaN (empty cell)
+    nums = [float(v) for v in vals[:3]]
+    assert all(0.0 <= v <= 1.0 for v in nums), nums
