@@ -18,3 +18,16 @@ if "host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True)
+def _isolate_cwd(tmp_path, monkeypatch):
+    """Run every test from its own temp directory: TrainConfig's default
+    log_dir='logs' is relative, and tests that fit() without an explicit
+    log_dir were silently overwriting the repo's committed example
+    artifact (logs/history.json). No test relies on a repo-relative
+    path (reference artifacts are addressed absolutely)."""
+    monkeypatch.chdir(tmp_path)
