@@ -168,7 +168,7 @@ class _Runner:
 
     def __init__(
         self, batch_size, matmul_dtype, ds, balanced=False,
-        device_sample=False, scan_steps=None,
+        device_sample=False, scan_steps=None, scan_chunk=0,
     ):
         import jax
 
@@ -177,12 +177,16 @@ class _Runner:
         from molkgnn_tpu.training import GNNModel, TrainConfig, Trainer
 
         self.batch_size = batch_size
-        # Per-runner scan length: the b8192 saturation config FAILS to
-        # compile at scan=80 on the relay backend (UNAVAILABLE ~150 s
-        # into the remote compile; bisected r4 — fails with host ids
-        # too, so it is a (batch x loop-length) compile-capacity limit,
-        # NOT the sampled gather; benchmarks/B8192_BISECT.json). scan=10
-        # compiles and runs there; smaller configs keep SCAN_STEPS.
+        # Per-runner scan structure: the b8192 saturation config FAILS to
+        # compile as a FLAT scan=80 on the relay backend (UNAVAILABLE
+        # ~150 s into the remote compile; bisected r4 — fails with host
+        # ids too, so it is a (batch x flat-loop-length) compile-capacity
+        # limit, NOT the sampled gather; benchmarks/B8192_BISECT.json).
+        # The r5 fix is scan_chunk: nest the 80-step window as 8x10 so
+        # the program's loop body is bounded by the chunk while the step
+        # sequence stays identical to the headline's
+        # (TrainConfig.scan_chunk; parity:
+        # tests/test_training.py::test_scan_chunk_matches_flat_scan).
         self.scan = scan_steps or SCAN_STEPS
         # MFU denominator must come from THIS runner's dataset (ADVICE r2:
         # per-dataset mean flops/graph differ between the 256- and
@@ -211,6 +215,7 @@ class _Runner:
             weight_decay=1e-3,
             progress=False,
             scan_steps=self.scan,
+            scan_chunk=scan_chunk,
             balanced_batches=balanced,
             device_sampling=device_sample,
         )
@@ -483,20 +488,32 @@ def main():
     # spread (the tunnel disappears from the measurement). Optional so a
     # slow-link day still emits the tracked rows. Device-sampled (the host
     # path's per-dispatch id block is MBs of H2D a degraded link cannot
-    # move) and scan=10 NOT 80: (b8192 x scan80) exceeds the relay
-    # backend's remote-compile capacity and dies with UNAVAILABLE — with
-    # host ids too, so it is not the sampled gather (bisected r4,
-    # benchmarks/B8192_BISECT.json). The window is still 80 steps
-    # (8 dispatches of 10).
+    # move). The flat (b8192 x scan80) program exceeds the relay backend's
+    # remote-compile capacity (UNAVAILABLE; host ids too — bisected r4,
+    # benchmarks/B8192_BISECT.json), so the row runs the SAME 80-step
+    # window NESTED as 8x10 (scan_steps=80, scan_chunk=10): one dispatch
+    # per window, identical step sequence to the headline (parity:
+    # tests/test_training.py::test_scan_chunk_matches_flat_scan). If the
+    # nested compile also dies on a bad relay day, fall back to flat
+    # scan=10 (8 dispatches of 10) when budget remains.
     r8192 = None
     if budget_left() > 150:
         ds8192 = make_synthetic_dataset(seed=0, num_graphs=2 * 8192)
         r8192 = safe(
             "b8192_bf16_devsample",
             lambda: _Runner(
-                8192, "bfloat16", ds8192, device_sample=True, scan_steps=10
+                8192, "bfloat16", ds8192, device_sample=True,
+                scan_steps=80, scan_chunk=10,
             ),
         )
+        if r8192 is None and budget_left() > 150:
+            r8192 = safe(
+                "b8192_bf16_devsample_scan10",
+                lambda: _Runner(
+                    8192, "bfloat16", ds8192, device_sample=True,
+                    scan_steps=10,
+                ),
+            )
         if r8192:
             rows["b8192_bf16_devsample"] = r8192.measure(
                 steps=80, repeats=1

@@ -89,6 +89,11 @@ def build_parser(gnn_type: str) -> argparse.ArgumentParser:
     # parity-tested). >1 amortizes launch latency — essential on
     # remote/tunneled accelerators (trainer.TrainConfig.scan_steps).
     d.add_argument("--scan_steps", type=int, default=1)
+    # Nest the K-step fused scan as (K//chunk x chunk) when chunk divides K
+    # (trainer.TrainConfig.scan_chunk): identical step sequence, program
+    # size bounded by the chunk — needed where a backend's compile capacity
+    # limits (batch x flat scan length).
+    d.add_argument("--scan_chunk", type=int, default=0)
 
     p.add_argument("--gnn_type", type=str, default=gnn_type)
 
@@ -341,6 +346,7 @@ def main(argv=None):
         balanced_batches=balanced,
         device_sampling=args.device_sampling,
         scan_steps=args.scan_steps,
+        scan_chunk=args.scan_chunk,
         autosave_path=(
             os.path.join(args.default_root_dir, "autosave")
             if args.autosave

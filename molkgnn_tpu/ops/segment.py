@@ -4,8 +4,9 @@ TPU-native replacements for the reference's torch-scatter / PyG
 ``MessagePassing.propagate`` C++/CUDA ops (/root/reference/models/MolKGNN/
 KernelLayer.py:119-123, MolKGNNNet.py:144) built on XLA's sorted/unsorted
 segment sums. Indices are static-shape with boolean masks; padded entries
-contribute zero. A Pallas CSR SpMM variant lives in ops/pallas_segment.py and
-is swapped in for the hot propagate path when profitable.
+contribute zero. A Pallas CSR SpMM variant was evaluated and retired — it lost
+end-to-end to XLA's fused segment-sum (benchmarks/SEGMENT_OPS.json), so these
+XLA primitives ARE the hot propagate path.
 """
 
 from __future__ import annotations

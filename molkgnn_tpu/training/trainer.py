@@ -102,6 +102,18 @@ class TrainConfig:
     # math is identical to step-by-step execution (same RNG fold-in per
     # step, same updates); only the dispatch granularity changes.
     scan_steps: int = 1
+    # Factor a K-step fused dispatch into an outer lax.scan over K//chunk
+    # inner chunk-step scan blocks (nested scan) whenever chunk divides K.
+    # The step SEQUENCE and math are identical to the flat scan — same RNG
+    # fold-ins, same updates, same losses — only the loop nesting changes,
+    # which bounds the compiled program's loop body independently of K.
+    # Motivation: the relay backend's remote compiler has a measured
+    # capacity limit on (batch x flat scan length) — (b8192 x scan80) dies
+    # with UNAVAILABLE while smaller flat scans compile
+    # (benchmarks/B8192_BISECT.json) — so the saturation bench row can keep
+    # the same 80-step window structure as the headline by nesting 8x10
+    # instead of falling back to shorter dispatches. 0 = flat scan.
+    scan_chunk: int = 0
     # Sample the training ids ON DEVICE (graphs/device_pack.sample_ids):
     # each fused step draws its [B] ids from the oversampling distribution
     # with the train RNG (alias-method draw over a device-resident
@@ -500,11 +512,23 @@ class Trainer:
         fold-in by step counter, AdamW, schedule) are unchanged."""
         gather_batch = self._gather_fn
         spec, step_fn = self.spec, self._train_step_fn
+        chunk = self.config.scan_chunk
 
         def train_steps(state, data, ids_block):
             def body(st, ids):
                 return step_fn(st, gather_batch(data, ids, spec))
 
+            k = ids_block.shape[0]
+            if chunk and k > chunk and k % chunk == 0:
+                blocks = ids_block.reshape(
+                    k // chunk, chunk, *ids_block.shape[1:]
+                )
+
+                def outer(st, blk):
+                    return jax.lax.scan(body, st, blk)
+
+                st, losses = jax.lax.scan(outer, state, blocks)
+                return st, losses.reshape(k)
             return jax.lax.scan(body, state, ids_block)
 
         return jax.jit(train_steps, donate_argnums=(0,))
@@ -597,6 +621,8 @@ class Trainer:
             self._sample_programs[k] = prog
             return prog
 
+        chunk = self.config.scan_chunk
+
         def train_steps(state, data, train_ids, table):
             def body(st, _):
                 key = jax.random.fold_in(
@@ -606,6 +632,17 @@ class Trainer:
                 new_st, loss = step_fn(st, gather_batch(data, ids, spec))
                 return new_st, (loss, data.edge_count[ids].sum())
 
+            if chunk and k > chunk and k % chunk == 0:
+                # Nested form: same step sequence (the per-step RNG folds
+                # in st.step, which advances identically), program size
+                # bounded by the chunk (config.scan_chunk rationale).
+                def outer(st, _):
+                    return jax.lax.scan(body, st, None, length=chunk)
+
+                new_state, (losses, edges) = jax.lax.scan(
+                    outer, state, None, length=k // chunk
+                )
+                return new_state, losses.reshape(k), edges.reshape(k)
             new_state, (losses, edges) = jax.lax.scan(
                 body, state, None, length=k
             )

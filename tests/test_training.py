@@ -184,6 +184,49 @@ def test_scan_steps_match_single_steps(tmp_path):
         )
 
 
+def test_scan_chunk_matches_flat_scan(tmp_path):
+    """scan_chunk=C factors the K-step fused dispatch into (K//C x C)
+    nested scans. The step SEQUENCE is identical to the flat scan (same
+    per-step RNG fold-ins, same sampler draws, same updates), so trained
+    params must match — this is what lets the b8192 saturation bench row
+    keep the headline's 80-step window under the relay compiler's
+    (batch x flat-scan-length) capacity limit
+    (benchmarks/B8192_BISECT.json)."""
+    import jax
+
+    def run(scan_chunk, device_sampling, tag):
+        ds = make_synthetic_dataset(seed=9, num_graphs=40, active_fraction=0.3)
+        spec = spec_for_graphs(ds.graphs, batch_size=8)
+        model = GNNModel(
+            encoder=MolKGNNNet(
+                num_layers=1, kernels_1hop=(2, 3, 2, 3),
+                kernels_nhop=(2, 3, 2, 3), graph_embedding_dim=8,
+            ),
+            ffn_dropout_rate=0.2,
+        )
+        cfg = TrainConfig(
+            batch_size=8, max_epochs=2, warmup_iterations=3,
+            oversample=True, progress=False, scan_steps=4,
+            scan_chunk=scan_chunk, device_sampling=device_sampling,
+            log_dir=str(tmp_path / tag),
+        )
+        trainer = Trainer(model, ds, spec, cfg)
+        trainer.fit()
+        return trainer
+
+    for devsample in (False, True):
+        flat = run(0, devsample, f"flat{devsample}")
+        nested = run(2, devsample, f"nested{devsample}")
+        assert int(nested.state.step) == int(flat.state.step)
+        for a, b in zip(
+            jax.tree.leaves(flat.state.params),
+            jax.tree.leaves(nested.state.params),
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-5
+            )
+
+
 def test_device_sample_ids_distribution_and_range():
     """sample_ids must reproduce WeightedRandomSampler(replacement=True)
     semantics (reference data.py:144-166): i.i.d. draws with probability
