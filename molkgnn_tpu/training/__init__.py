@@ -10,6 +10,10 @@ from molkgnn_tpu.training.schedule import polynomial_warmup_decay
 from molkgnn_tpu.training.optim import make_optimizer
 from molkgnn_tpu.training.model import GNNModel
 from molkgnn_tpu.training.trainer import Trainer, TrainConfig
+from molkgnn_tpu.training.checkpoint import (
+    from_torch_state_dict,
+    load_torch_checkpoint,
+)
 
 __all__ = [
     "calculate_logAUC",
@@ -23,4 +27,6 @@ __all__ = [
     "GNNModel",
     "Trainer",
     "TrainConfig",
+    "from_torch_state_dict",
+    "load_torch_checkpoint",
 ]

@@ -37,6 +37,141 @@ def save_checkpoint(path: str, payload: Any) -> None:
             f.write(serialization.to_bytes(payload))
 
 
+def _np(t) -> np.ndarray:
+    """Array-ify a torch tensor / numpy array without importing torch."""
+    if hasattr(t, "detach"):
+        t = t.detach().cpu().numpy()
+    return np.asarray(t)
+
+
+# Reference GNNModel members that exist but are dead in its forward
+# (model.py:147-149 constructs lin1/lin2 alongside ffn; only ffn is applied
+# at model.py:170. graph_embedding_linear is constructed at
+# MolKGNNNet.py:20-25 and never called). num_batches_tracked is torch BN
+# bookkeeping our MaskedBatchNorm does not carry.
+_IGNORED_TORCH_KEYS = ("lin1.", "lin2.", "gnn_model.graph_embedding_linear.")
+
+
+def from_torch_state_dict(variables: Any, state_dict: Any, prefix: str = ""):
+    """Import a trained reference checkpoint into our GNNModel variables.
+
+    ``state_dict`` is the reference GNNModel's (the PL LightningModule
+    wrapping the kgnn encoder, /root/reference/model.py:128-149 +
+    entry.py:134-162 best-ckpt loading) torch ``state_dict()`` — str keys
+    to tensors/arrays. ``variables`` is our template from
+    ``GNNModel.init`` ({'params', 'batch_stats'}); the import is
+    template-driven, so every target leaf must find its source key (else
+    KeyError) with a matching shape (else ValueError).
+
+    Layout translation:
+      * Linear layers: torch stores weight [out, in]; our TorchLinear
+        kernel is [in, out] -> transpose. (ffn head, graph_embedding_lin1/2)
+      * BatchNorm: weight/bias -> params; running_mean/running_var ->
+        batch_stats mean/var (ops/norm.py MaskedBatchNorm).
+      * KernelConv parameters (x_center [L,F], x_support [L,deg,F],
+        edge_attr_support [L,deg,E], p_support [L,deg,3], the five
+        *_sc_weight scalars) are stored IDENTICALLY on both sides — only
+        score matrices are transposed between the frameworks
+        ([nodes, kernels] here vs [kernels, nodes] there), never params.
+        Source: gnn_model.gnn.layers.{i}.trainable_kernelconv_set.{d-1}
+        (kernels.py:483-486); fixed sets map from fixed_kernelconv_set
+        when the template carries them.
+
+    ``prefix`` is prepended to every source key (e.g. ``"model."`` for
+    checkpoints that nest the LightningModule under an attribute).
+    Returns a new variables dict of numpy arrays (cast to the template
+    leaf dtypes), ready for ``Trainer``/``Predictor``/``serving``.
+    """
+    from flax.traverse_util import flatten_dict, unflatten_dict
+
+    sd = {str(k): v for k, v in dict(state_dict).items()}
+
+    def _enc_key(rest):
+        """Source key for a path under our encoder (MolKGNNNet)."""
+        if rest[0] in ("node_batch_norm", "edge_batch_norm"):
+            leaf = {"mean": "running_mean", "var": "running_var"}.get(
+                rest[1], rest[1]
+            )
+            return f"gnn_model.{rest[0]}.{leaf}", False
+        if rest[0].startswith("graph_embedding_lin"):
+            leaf = "weight" if rest[1] == "kernel" else rest[1]
+            return f"gnn_model.{rest[0]}.{leaf}", rest[1] == "kernel"
+        if rest[0] == "gnn" and rest[1].startswith("layer"):
+            i = int(rest[1][len("layer"):])
+            conv = rest[2]
+            if conv.startswith("fixed_kernelconv"):
+                d, set_name = int(conv[-1]), "fixed_kernelconv_set"
+            elif conv.startswith("kernelconv"):
+                d, set_name = int(conv[-1]), "trainable_kernelconv_set"
+            else:
+                raise KeyError(f"unmapped encoder path: {rest}")
+            return (
+                f"gnn_model.gnn.layers.{i}.{set_name}.{d - 1}.{rest[3]}",
+                False,
+            )
+        raise KeyError(f"unmapped encoder path: {rest}")
+
+    def _src_key(collection, path):
+        if path[0] == "ffn":
+            leaf = "weight" if path[1] == "kernel" else path[1]
+            return f"ffn.{leaf}", path[1] == "kernel"
+        if path[0] == "encoder":
+            return _enc_key(path[1:])
+        raise KeyError(f"unmapped {collection} path: {path}")
+
+    out = {}
+    used = set()
+    for collection, tree in variables.items():
+        flat = flatten_dict(tree)
+        mapped = {}
+        for path, leaf in flat.items():
+            key, transpose = _src_key(collection, path)
+            key = prefix + key
+            if key not in sd:
+                raise KeyError(
+                    f"reference state_dict missing '{key}' "
+                    f"(for {collection} path {path})"
+                )
+            arr = _np(sd[key])
+            if transpose:
+                arr = arr.T
+            want = np.shape(leaf)
+            if tuple(arr.shape) != tuple(want):
+                raise ValueError(
+                    f"shape mismatch at '{key}': reference "
+                    f"{tuple(arr.shape)} vs template {tuple(want)}"
+                )
+            mapped[path] = arr.astype(np.asarray(leaf).dtype)
+            used.add(key)
+        out[collection] = unflatten_dict(mapped)
+
+    leftovers = [
+        k
+        for k in sd
+        if k not in used
+        and not k[len(prefix):].startswith(_IGNORED_TORCH_KEYS)
+        and not k.endswith("num_batches_tracked")
+    ]
+    if leftovers:
+        raise ValueError(
+            "reference state_dict keys with no target in the template "
+            f"(wrong model config?): {sorted(leftovers)[:8]}"
+        )
+    return out
+
+
+def load_torch_checkpoint(path: str, variables: Any, prefix: str = ""):
+    """``from_torch_state_dict`` on a torch-saved file: a raw state_dict,
+    a PL .ckpt ({'state_dict': ...}), or the kernels dump the reference
+    writes per layer (model.py:404-434)."""
+    import torch
+
+    obj = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(obj, dict) and "state_dict" in obj:
+        obj = obj["state_dict"]
+    return from_torch_state_dict(variables, obj, prefix=prefix)
+
+
 def load_checkpoint(path: str, target: Any = None) -> Any:
     if _HAVE_ORBAX and os.path.isdir(path):
         ckptr = ocp.PyTreeCheckpointer()

@@ -1356,6 +1356,85 @@ def ref_molkgnn_pkg():
     return mods
 
 
+def _tie_free_molecule(rng):
+    """Caterpillar tree, max one leaf child per node: spine s0..s_{m-1};
+    interior spine nodes optionally gain one leaf and/or one pendant
+    2-chain (internal child + its own single leaf) => degrees 1-4.
+    Tie-free by construction: no node has two neighbors with identical
+    neighbor sets, the generic source of bitwise-equal aggregated
+    features that make permutation-argmax order arbitrary (fp-tie
+    caveat, CLAUDE.md)."""
+    from molkgnn_tpu.graphs.molgraph import MolGraph
+
+    edges = []
+    m = int(rng.integers(5, 7))
+    nodes = m
+    for u in range(m - 1):
+        edges.append((u, u + 1))
+    for si in range(2, m - 2):
+        kind = int(rng.integers(0, 3))
+        if kind >= 1:  # one leaf child
+            edges.append((si, nodes))
+            nodes += 1
+        if kind == 2:  # plus one pendant chain: deg-4 spine node
+            t, u = nodes, nodes + 1
+            edges.append((si, t))
+            edges.append((t, u))
+            nodes += 2
+    ei, ea = [], []
+    for u, v in edges:
+        attr = rng.standard_normal(7).astype(np.float32)
+        ei += [(u, v), (v, u)]
+        ea += [attr, attr]
+    return MolGraph(
+        x=rng.standard_normal((nodes, 28)).astype(np.float32),
+        p=rng.standard_normal((nodes, 3)).astype(np.float32),
+        edge_index=np.array(ei, np.int32).T,
+        edge_attr=np.array(ea, np.float32),
+        y=0.0,
+        atomic_num=rng.integers(1, 10, size=nodes).astype(np.int32),
+    ).with_fields()
+
+
+def _ref_data_kwargs(batch):
+    """Feed kwargs for the reference MolKGNNNet forward from our packed
+    batch: float64 views of the REAL rows only, plus the per-degree
+    receptive-field tensors its MolGCN expects (KernelLayer.py:64-106)."""
+    node_mask = np.asarray(batch.node_mask)
+    n_real = int(node_mask.sum())
+    assert node_mask[:n_real].all()
+    emask = np.asarray(batch.edge_mask)
+    e_real = int(emask.sum())
+    assert emask[:e_real].all()
+    long = lambda a: torch.tensor(np.asarray(a), dtype=torch.long)
+    td = lambda a: torch.tensor(np.asarray(a, np.float64))
+
+    kw = dict(
+        x=td(np.asarray(batch.x)[:n_real]),
+        p=td(np.asarray(batch.p)[:n_real]),
+        edge_index=torch.stack(
+            [long(batch.edge_src[:e_real]), long(batch.edge_dst[:e_real])]
+        ),
+        edge_attr=td(np.asarray(batch.edge_attr)[:e_real]),
+        batch=long(np.asarray(batch.node_graph_id)[:n_real]),
+    )
+    total_bucket_rows = 0
+    for d, b in enumerate(batch.buckets(), start=1):
+        mask = np.asarray(b.mask)
+        focal = np.asarray(b.focal_index)[mask]
+        nei = np.asarray(b.nei_index)[mask]
+        total_bucket_rows += len(focal)
+        kw[f"p_focal_deg{d}"] = td(np.asarray(batch.p)[focal])
+        kw[f"nei_p_deg{d}"] = td(np.asarray(batch.p)[nei])
+        kw[f"nei_edge_attr_deg{d}"] = td(np.asarray(b.nei_edge_attr)[mask])
+        kw[f"selected_index_deg{d}"] = long(focal)
+        kw[f"nei_index_deg{d}"] = long(nei.reshape(-1))
+    # Reference's column-reorder assumes every real node sits in exactly
+    # one degree bucket (degree 1..4).
+    assert total_bucket_rows == n_real
+    return kw
+
+
 def test_molkgnn_full_model_matches_reference(ref_molkgnn_pkg):
     """End-to-end MolKGNNNet (eval): node BatchNorm (randomized running
     stats + affine), 2 chained KernelSetConv layers with sum message
@@ -1368,51 +1447,17 @@ def test_molkgnn_full_model_matches_reference(ref_molkgnn_pkg):
     permutation scores tie at ulp level; which permutation the argmax then
     gathers is summation-order-arbitrary *in the reference itself*. The
     test therefore (a) uses tree molecules in which no node has two leaf
-    children (all degrees 1-4 still present), asserted tie-free below, and
+    children (all degrees 1-4 still present, _tie_free_molecule), and
     (b) runs both sides in float64 so the remaining near-ties resolve
     identically."""
     from torch_geometric.data import Data  # the stub
 
     from molkgnn_tpu.graphs import spec_for_graphs
     from molkgnn_tpu.graphs.batch import batch_graphs
-    from molkgnn_tpu.graphs.molgraph import MolGraph
     from molkgnn_tpu.models.kgnn import MolKGNNNet
 
-    def tie_free_molecule(rng):
-        """Caterpillar tree, max one leaf child per node: spine s0..s_{m-1};
-        interior spine nodes optionally gain one leaf and/or one pendant
-        2-chain (internal child + its own single leaf) => degrees 1-4."""
-        edges = []
-        m = int(rng.integers(5, 7))
-        nodes = m
-        for u in range(m - 1):
-            edges.append((u, u + 1))
-        for si in range(2, m - 2):
-            kind = int(rng.integers(0, 3))
-            if kind >= 1:  # one leaf child
-                edges.append((si, nodes))
-                nodes += 1
-            if kind == 2:  # plus one pendant chain: deg-4 spine node
-                t, u = nodes, nodes + 1
-                edges.append((si, t))
-                edges.append((t, u))
-                nodes += 2
-        ei, ea = [], []
-        for u, v in edges:
-            attr = rng.standard_normal(7).astype(np.float32)
-            ei += [(u, v), (v, u)]
-            ea += [attr, attr]
-        return MolGraph(
-            x=rng.standard_normal((nodes, 28)).astype(np.float32),
-            p=rng.standard_normal((nodes, 3)).astype(np.float32),
-            edge_index=np.array(ei, np.int32).T,
-            edge_attr=np.array(ea, np.float32),
-            y=0.0,
-            atomic_num=rng.integers(1, 10, size=nodes).astype(np.int32),
-        ).with_fields()
-
     rng0 = np.random.default_rng(61)
-    graphs = [tie_free_molecule(rng0) for _ in range(4)]
+    graphs = [_tie_free_molecule(rng0) for _ in range(4)]
     spec = spec_for_graphs(graphs, batch_size=4)
     batch = batch_graphs(graphs, spec)
     degs_present = {
@@ -1510,38 +1555,7 @@ def test_molkgnn_full_model_matches_reference(ref_molkgnn_pkg):
         _copy_linear(ref.graph_embedding_lin2, p["graph_embedding_lin2"])
     ref.eval()
 
-    node_mask = np.asarray(batch.node_mask)
-    n_real = int(node_mask.sum())
-    assert node_mask[:n_real].all()
-    emask = np.asarray(batch.edge_mask)
-    e_real = int(emask.sum())
-    assert emask[:e_real].all()
-    long = lambda a: torch.tensor(np.asarray(a), dtype=torch.long)
-    td = lambda a: torch.tensor(np.asarray(a, np.float64))
-
-    kw = dict(
-        x=td(np.asarray(batch.x)[:n_real]),
-        p=td(np.asarray(batch.p)[:n_real]),
-        edge_index=torch.stack(
-            [long(batch.edge_src[:e_real]), long(batch.edge_dst[:e_real])]
-        ),
-        edge_attr=td(np.asarray(batch.edge_attr)[:e_real]),
-        batch=long(np.asarray(batch.node_graph_id)[:n_real]),
-    )
-    total_bucket_rows = 0
-    for d, b in enumerate(batch.buckets(), start=1):
-        mask = np.asarray(b.mask)
-        focal = np.asarray(b.focal_index)[mask]
-        nei = np.asarray(b.nei_index)[mask]
-        total_bucket_rows += len(focal)
-        kw[f"p_focal_deg{d}"] = td(np.asarray(batch.p)[focal])
-        kw[f"nei_p_deg{d}"] = td(np.asarray(batch.p)[nei])
-        kw[f"nei_edge_attr_deg{d}"] = td(np.asarray(b.nei_edge_attr)[mask])
-        kw[f"selected_index_deg{d}"] = long(focal)
-        kw[f"nei_index_deg{d}"] = long(nei.reshape(-1))
-    # Reference's column-reorder assumes every real node sits in exactly
-    # one degree bucket (degree 1..4).
-    assert total_bucket_rows == n_real
+    kw = _ref_data_kwargs(batch)
 
     try:
         want = ref(Data(**kw)).detach().numpy()
@@ -1549,6 +1563,165 @@ def test_molkgnn_full_model_matches_reference(ref_molkgnn_pkg):
         torch.set_default_dtype(prev_default)
     assert got.shape == want.shape == (4, emb_dim)
     np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-10)
+
+
+def test_reference_checkpoint_import_round_trip(ref_molkgnn_pkg, tmp_path):
+    """Reference-checkpoint importer round trip (the deployment path for
+    already-trained reference models, entry.py:134-162 best-ckpt loading):
+    TRAIN the reference's own MolKGNNNet on torch-CPU — wrapped exactly as
+    model.py::GNNModel wires it (self.gnn_model + dropout + self.ffn,
+    model.py:128-171) so the state_dict keys are the real checkpoint
+    keys — for several AdamW steps, import the state_dict with
+    training.checkpoint.from_torch_state_dict, and require our forward to
+    reproduce its eval logits at fp64 precision (trained BN running stats
+    and all). Then AOT-export the imported weights and score an SDF
+    through the `molkgnn-screen` CLI: a reference user's trained model
+    ports straight into this framework's serving path."""
+    import os
+    import subprocess
+
+    from torch_geometric.data import Data  # the stub
+
+    from molkgnn_tpu.graphs import spec_for_graphs
+    from molkgnn_tpu.graphs.batch import batch_graphs
+    from molkgnn_tpu.models.kgnn import MolKGNNNet
+    from molkgnn_tpu.training import GNNModel, from_torch_state_dict
+
+    rng0 = np.random.default_rng(17)
+    graphs = [_tie_free_molecule(rng0) for _ in range(4)]
+    spec = spec_for_graphs(graphs, batch_size=4)
+    batch = batch_graphs(graphs, spec)
+
+    counts_1hop, counts_nhop, emb_dim = (2, 3, 4, 5), (3, 4, 2, 5), 8
+    prev_default = torch.get_default_dtype()
+    torch.set_default_dtype(torch.float64)
+    try:
+        ref_net_mod = ref_molkgnn_pkg["MolKGNNNet"]
+
+        class RefGNNModel(torch.nn.Module):
+            """model.py::GNNModel's trained surface: gnn_model + ffn
+            (lin1/lin2 exist there but are dead in forward — the importer
+            ignores them, so omitting them here keeps the leftovers check
+            honest for the live keys)."""
+
+            def __init__(self):
+                super().__init__()
+                self.gnn_model = ref_net_mod.MolKGNNNet(
+                    num_layers=2,
+                    num_kernel1_1hop=counts_1hop[0],
+                    num_kernel2_1hop=counts_1hop[1],
+                    num_kernel3_1hop=counts_1hop[2],
+                    num_kernel4_1hop=counts_1hop[3],
+                    num_kernel1_Nhop=counts_nhop[0],
+                    num_kernel2_Nhop=counts_nhop[1],
+                    num_kernel3_Nhop=counts_nhop[2],
+                    num_kernel4_Nhop=counts_nhop[3],
+                    x_dim=28, p_dim=3, edge_attr_dim=7,
+                    drop_ratio=0.0, graph_embedding_dim=emb_dim,
+                )
+                self.ffn = torch.nn.Linear(emb_dim, 1)
+
+            def forward(self, data):
+                return self.ffn(self.gnn_model(data))
+
+        wrapper = RefGNNModel().double()
+        kw = _ref_data_kwargs(batch)
+        y = torch.tensor([0.0, 1.0, 0.0, 1.0], dtype=torch.float64)
+        opt = torch.optim.AdamW(wrapper.parameters(), lr=1e-3)
+        loss_fn = torch.nn.BCEWithLogitsLoss()
+        wrapper.train()
+        losses = []
+        for _ in range(5):
+            opt.zero_grad()
+            loss = loss_fn(wrapper(Data(**kw))[:, 0], y)
+            loss.backward()
+            opt.step()
+            losses.append(float(loss.detach()))
+        assert losses[-1] < losses[0]  # it actually trained
+        wrapper.eval()
+        want = wrapper(Data(**kw)).detach().numpy()[:, 0]
+        sd = wrapper.state_dict()
+    finally:
+        torch.set_default_dtype(prev_default)
+
+    model = GNNModel(
+        encoder=MolKGNNNet(
+            num_layers=2,
+            kernels_1hop=counts_1hop,
+            kernels_nhop=counts_nhop,
+            graph_embedding_dim=emb_dim,
+            drop_ratio=0.0,
+        ),
+        ffn_dropout_rate=0.0,
+    )
+    template = jax.device_get(model.init(jax.random.key(0), batch))
+    # fp64 template -> the importer keeps the checkpoint's full precision
+    # for the fp64 comparison (production imports use the fp32 template).
+    as64 = lambda a: (
+        np.asarray(a, np.float64)
+        if np.issubdtype(np.asarray(a).dtype, np.floating)
+        else np.asarray(a)
+    )
+    imported = from_torch_state_dict(jax.tree.map(as64, template), sd)
+
+    to64 = lambda a: (
+        np.asarray(a, np.float64)
+        if np.issubdtype(np.asarray(a).dtype, np.floating)
+        else np.asarray(a)
+    )
+    batch64 = jax.tree.map(to64, batch)
+    jax.config.update("jax_enable_x64", True)
+    try:
+        got, _emb = model.apply(imported, batch64, train=False)
+        got = np.asarray(got)
+    finally:
+        jax.config.update("jax_enable_x64", False)
+    np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-10)
+
+    # Imported weights -> serving: AOT export + molkgnn-screen on an SDF.
+    from molkgnn_tpu.chem.embed import embed_molecule
+    from molkgnn_tpu.chem.features import mol_to_graph
+    from molkgnn_tpu.chem.sdf import write_sdf
+    from molkgnn_tpu.chem.smiles import parse_smiles
+    from molkgnn_tpu.serving.predictor import Predictor
+
+    def mk(smi, i):
+        m = parse_smiles(smi, add_hs=True)
+        pos = embed_molecule(m, seed=i, iterations=40)
+        for k, a in enumerate(m.atoms):
+            a.x, a.y, a.z = map(float, pos[k])
+        return m
+
+    mols = [mk(s, i) for i, s in enumerate(["CCO", "CCN", "CCC"])]
+    mol_graphs = [mol_to_graph(m, y=0.0, idx=i) for i, m in enumerate(mols)]
+    screen_spec = spec_for_graphs(mol_graphs, batch_size=4)
+    f32 = lambda a: np.asarray(a, np.float32) if np.issubdtype(
+        np.asarray(a).dtype, np.floating
+    ) else np.asarray(a)
+    pred = Predictor(
+        model,
+        jax.tree.map(f32, imported["params"]),
+        jax.tree.map(f32, imported["batch_stats"]),
+        screen_spec,
+    )
+    art = tmp_path / "imported.mkx"
+    pred.export(str(art))
+    sdf = tmp_path / "lib.sdf"
+    write_sdf(str(sdf), mols)
+    out = tmp_path / "scores.csv"
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    r = subprocess.run(
+        [sys.executable, "-m", "molkgnn_tpu.cli.screen",
+         "--exported", str(art), "--sdf", str(sdf), "--out", str(out)],
+        capture_output=True, text=True, timeout=300, env=env,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    lines = out.read_text().strip().splitlines()
+    assert lines[0] == "record_index,score"
+    scores = [float(ln.split(",")[1]) for ln in lines[1:]]
+    assert len(scores) == 3 and all(np.isfinite(scores))
 
 
 # ------------------------------------------- ChIRoNet full Encoder forward
