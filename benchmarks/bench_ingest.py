@@ -110,6 +110,131 @@ def _write_aid(root, aid, n_active, n_inactive, templates):
                 f.write("$$$$\n")
 
 
+_PHASE_BUILD = """
+import json, os, resource, sys, time
+root, aid = sys.argv[1], sys.argv[2]
+from molkgnn_tpu.data.qsar import (
+    StreamingCacheWriter, _cache_path, ingest_qsar_sdf,
+)
+cpath = _cache_path(os.path.join(root, "processed"), aid, "native", "kgnn")
+t0 = time.time()
+w = StreamingCacheWriter(cpath)
+_, invalid = ingest_qsar_sdf(root, aid, progress=False, writer=w)
+w.close(invalid)
+print(json.dumps({
+    "build_s": round(time.time() - t0, 1),
+    "peak_rss_mb": round(
+        resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024, 1
+    ),
+    "num_graphs": w.num_graphs,
+    "num_shards": w.num_shards,
+}))
+"""
+
+_PHASE_WARM = """
+import json, os, resource, sys, time
+root, aid = sys.argv[1], sys.argv[2]
+from molkgnn_tpu.data.qsar import load_qsar_dataset
+t0 = time.time()
+ds = load_qsar_dataset(root, dataset=aid)
+print(json.dumps({
+    "warm_load_s": round(time.time() - t0, 1),
+    "peak_rss_mb": round(
+        resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024, 1
+    ),
+    "num_graphs": len(ds.graphs),
+    "split_sizes": {k: int(len(v)) for k, v in ds.split.items()},
+}))
+"""
+
+
+def scale_drill(aid="485290"):
+    """Real-AID-scale ingest drill (VERDICT r4 #3): synthesize the full
+    485290 record counts (278 actives / 341,026 inactives — the largest
+    reference assay, utils/data_split.py:68-79), stream SDF -> features ->
+    sharded cache, and prove the peak RSS stays bounded (phase-isolated
+    subprocesses so each phase reports its own high-water mark). Then the
+    CLI drill: 1 epoch through `molkgnn` on the shrink split. Merges a
+    "scale_341k" section into INGEST.json."""
+    from molkgnn_tpu.data.qsar import DATASET_INFO
+
+    info = DATASET_INFO[aid]
+    out = {
+        "records": info["num_active"] + info["num_inactive"],
+        "aid": aid,
+    }
+    root = f"/tmp/ingest_scale/{aid}/dataset/qsar/clean_sdf"
+    os.makedirs(root, exist_ok=True)
+
+    t0 = time.time()
+    templates = _gen_templates()
+    _write_aid(root, aid, info["num_active"], info["num_inactive"], templates)
+    out["sdf_write_s"] = round(time.time() - t0, 1)
+    out["sdf_bytes"] = sum(
+        os.path.getsize(os.path.join(root, "raw", f))
+        for f in os.listdir(os.path.join(root, "raw"))
+        if f.startswith(aid)
+    )
+
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PALLAS_AXON_POOL_IPS="")
+    for key, code in (("build", _PHASE_BUILD), ("warm", _PHASE_WARM)):
+        r = subprocess.run(
+            [sys.executable, "-c", code, root, aid],
+            capture_output=True, text=True, timeout=5400, env=env,
+        )
+        if r.returncode != 0:
+            out[key] = {"error": r.stderr[-1500:]}
+            break
+        out[key] = json.loads(r.stdout.strip().splitlines()[-1])
+    if "build_s" in out.get("build", {}):
+        out["ingest_mols_per_s"] = round(
+            out["records"] / out["build"]["build_s"], 1
+        )
+    cache = os.path.join(root, "processed")
+    if os.path.isdir(cache):
+        out["cache_bytes"] = sum(
+            os.path.getsize(os.path.join(cache, f)) for f in os.listdir(cache)
+        )
+
+    run_dir = f"/tmp/ingest_scale/{aid}/run"
+    t0 = time.time()
+    r = subprocess.run(
+        [
+            sys.executable, "-m", "molkgnn_tpu.cli.entry",
+            "--dataset_name", aid,
+            "--dataset_path", f"/tmp/ingest_scale/{aid}/dataset",
+            "--default_root_dir", run_dir,
+            "--num_layers", "3", "--batch_size", "32",
+            "--max_epochs", "1", "--warmup_iterations", "200",
+            "--peak_lr", "5e-2",
+            "--enable_oversampling_with_replacement", "--device_sampling",
+            "--scan_steps", "16",
+        ],
+        env=env, capture_output=True, text=True, timeout=5400,
+    )
+    child = resource.getrusage(resource.RUSAGE_CHILDREN)
+    out["cli_drill"] = {
+        "returncode": r.returncode,
+        "wall_s": round(time.time() - t0, 1),
+        "peak_child_rss_mb": round(child.ru_maxrss / 1024, 1),
+        "test_result_exists": os.path.exists(
+            os.path.join(run_dir, "logs", "test_result.log")
+        ),
+    }
+    if r.returncode != 0:
+        out["cli_drill"]["stderr_tail"] = r.stderr[-1500:]
+
+    path = os.path.join(HERE, "INGEST.json")
+    merged = {}
+    if os.path.exists(path):
+        with open(path) as f:
+            merged = json.load(f)
+    merged["scale_341k"] = out
+    with open(path, "w") as f:
+        json.dump(merged, f, indent=2)
+    print(json.dumps(out, indent=2))
+
+
 def main():
     out = {"box": "2-core x86 (dev container)", "dataset": "1798-scale"}
     import numpy as np  # noqa: F401  (keep jax off the TPU: no jax import)
@@ -237,10 +362,27 @@ def main():
         out["cli_drill"]["stderr_tail"] = r.stderr[-1500:]
 
     out["peak_rss_mb_final"] = round(_rss_mb(), 1)
-    with open(os.path.join(HERE, "INGEST.json"), "w") as f:
+    path = os.path.join(HERE, "INGEST.json")
+    if os.path.exists(path):  # keep the scale drill's section if present
+        with open(path) as f:
+            prev = json.load(f)
+        if "scale_341k" in prev:
+            out["scale_341k"] = prev["scale_341k"]
+    with open(path, "w") as f:
         json.dump(out, f, indent=2)
     print(json.dumps(out, indent=2))
 
 
 if __name__ == "__main__":
-    main()
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--scale", action="store_true",
+        help="run the 341k-record (AID 485290) streaming-ingest drill "
+        "instead of the 1798-scale suite",
+    )
+    if ap.parse_args().scale:
+        scale_drill()
+    else:
+        main()

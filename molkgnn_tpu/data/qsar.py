@@ -141,10 +141,8 @@ def _cache_path(
     return os.path.join(cache_dir, f"{kind}-{dataset}-3D-{backend}.{ext}")
 
 
-def save_graph_cache(path: str, graphs: List[MolGraph], invalid) -> None:
-    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    np.savez_compressed(
-        path,
+def _graph_arrays(graphs: List[MolGraph]) -> Dict[str, np.ndarray]:
+    return dict(
         x=np.concatenate([g.x for g in graphs]),
         p=np.concatenate([g.p for g in graphs]),
         edge_index=np.concatenate([g.edge_index for g in graphs], axis=1),
@@ -155,19 +153,78 @@ def save_graph_cache(path: str, graphs: List[MolGraph], invalid) -> None:
         node_counts=np.array([g.num_nodes for g in graphs], np.int64),
         edge_counts=np.array([g.num_edges for g in graphs], np.int64),
         smiles=np.array([g.smiles for g in graphs], dtype=object),
-        invalid=np.array(invalid, np.int64).reshape(-1, 2),
-        allow_pickle=True,
     )
 
 
-def load_graph_cache(path: str) -> Tuple[List[MolGraph], List[Tuple[int, int]]]:
-    # Materialize every array ONCE before the loop: indexing an NpzFile
-    # re-decompresses the whole member on EVERY access, which turns the
-    # per-graph loop quadratic (measured: a 62k-mol cache took >10 min to
-    # "warm"-load vs ~60 s to build cold; with this hoist it loads in
-    # seconds).
-    with np.load(path, allow_pickle=True) as zf:
-        z = {k: zf[k] for k in zf.files}
+def save_graph_cache(path: str, graphs: List[MolGraph], invalid) -> None:
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    np.savez_compressed(
+        path,
+        invalid=np.array(invalid, np.int64).reshape(-1, 2),
+        allow_pickle=True,
+        **_graph_arrays(graphs),
+    )
+
+
+class StreamingCacheWriter:
+    """Shard-streaming processed-cache writer: flushes every ``shard_size``
+    featurized molecules to their own compressed npz shard instead of
+    holding the full graph list in memory, so the ingest-phase peak RSS is
+    bounded by one shard regardless of dataset size. Needed at real-AID
+    scale: the largest reference assay is 341k molecules
+    (/root/reference/utils/data_split.py:68-79) where the single-file path
+    (build list -> concatenate -> compress) peaks at several GB.
+
+    Layout next to the single-file cache path ``P``:
+    ``P.manifest.json`` (shard count, totals, invalid records) +
+    ``P.shard{j:05d}.npz`` (the ``_graph_arrays`` members). Readable with
+    ``load_graph_cache_sharded``.
+    """
+
+    def __init__(self, cpath: str, shard_size: int = 20000):
+        if shard_size <= 0:
+            raise ValueError("shard_size must be positive")
+        self.cpath = cpath
+        self.shard_size = shard_size
+        self._buf: List[MolGraph] = []
+        self.num_shards = 0
+        self.num_graphs = 0
+        os.makedirs(os.path.dirname(cpath) or ".", exist_ok=True)
+
+    def shard_path(self, j: int) -> str:
+        return f"{self.cpath}.shard{j:05d}.npz"
+
+    def add(self, g: MolGraph) -> None:
+        self._buf.append(g)
+        if len(self._buf) >= self.shard_size:
+            self._flush()
+
+    def _flush(self) -> None:
+        if not self._buf:
+            return
+        np.savez_compressed(
+            self.shard_path(self.num_shards),
+            allow_pickle=True,
+            **_graph_arrays(self._buf),
+        )
+        self.num_shards += 1
+        self.num_graphs += len(self._buf)
+        self._buf = []
+
+    def close(self, invalid: List[Tuple[int, int]]) -> None:
+        self._flush()
+        manifest = {
+            "num_shards": self.num_shards,
+            "num_graphs": self.num_graphs,
+            "shard_size": self.shard_size,
+            "invalid": [list(map(int, t)) for t in invalid],
+        }
+        with open(self.cpath + ".manifest.json", "w") as f:
+            json.dump(manifest, f)
+
+
+def _graphs_from_arrays(z: Dict[str, np.ndarray]) -> List[MolGraph]:
+    """MolGraph views over in-memory cache arrays (no copies)."""
     node_off = np.concatenate([[0], np.cumsum(z["node_counts"])])
     edge_off = np.concatenate([[0], np.cumsum(z["edge_counts"])])
     graphs = []
@@ -186,7 +243,45 @@ def load_graph_cache(path: str) -> Tuple[List[MolGraph], List[Tuple[int, int]]]:
                 idx=int(z["idx"][i]),
             )
         )
+    return graphs
+
+
+def load_graph_cache(path: str) -> Tuple[List[MolGraph], List[Tuple[int, int]]]:
+    # Materialize every array ONCE before the loop: indexing an NpzFile
+    # re-decompresses the whole member on EVERY access, which turns the
+    # per-graph loop quadratic (measured: a 62k-mol cache took >10 min to
+    # "warm"-load vs ~60 s to build cold; with this hoist it loads in
+    # seconds).
+    with np.load(path, allow_pickle=True) as zf:
+        z = {k: zf[k] for k in zf.files}
+    graphs = _graphs_from_arrays(z)
     invalid = [tuple(row) for row in z["invalid"]]
+    return graphs, invalid
+
+
+def load_graph_cache_sharded(
+    cpath: str,
+) -> Tuple[List[MolGraph], List[Tuple[int, int]]]:
+    """Load a ``StreamingCacheWriter`` cache shard by shard. Only one
+    shard is decompressed at a time; the returned MolGraphs hold views
+    into their shard's arrays, so total memory is the raw data size
+    (same as the single-file loader) without its whole-file
+    decompression spike."""
+    with open(cpath + ".manifest.json") as f:
+        manifest = json.load(f)
+    graphs: List[MolGraph] = []
+    for j in range(manifest["num_shards"]):
+        with np.load(
+            f"{cpath}.shard{j:05d}.npz", allow_pickle=True
+        ) as zf:
+            z = {k: zf[k] for k in zf.files}
+        graphs.extend(_graphs_from_arrays(z))
+    if len(graphs) != manifest["num_graphs"]:
+        raise ValueError(
+            f"sharded cache {cpath}: manifest says "
+            f"{manifest['num_graphs']} graphs, shards hold {len(graphs)}"
+        )
+    invalid = [tuple(t) for t in manifest["invalid"]]
     return graphs, invalid
 
 
@@ -196,10 +291,15 @@ def ingest_qsar_sdf(
     backend: str = "native",
     progress: bool = True,
     gnn_type: str = "kgnn",
+    writer: Optional[StreamingCacheWriter] = None,
 ) -> Tuple[List[MolGraph], List[Tuple[int, int]]]:
     """Parse + featurize the actives/inactives SDF pair. Returns (graphs,
     invalid (counter, label) pairs); graph ``idx`` is the global counter so
-    split indices line up (wrapper.py:414-427)."""
+    split indices line up (wrapper.py:414-427).
+
+    With ``writer``, each graph is flushed to the sharded cache instead of
+    accumulated (the returned graph list is empty) — SDF -> features ->
+    shard streams with memory bounded by one shard."""
     graphs: List[MolGraph] = []
     invalid: List[Tuple[int, int]] = []
     counter = -1
@@ -230,10 +330,21 @@ def ingest_qsar_sdf(
             if g is None:
                 invalid.append((counter, label))
                 continue
-            graphs.append(g)
+            if writer is not None:
+                writer.add(g)
+            else:
+                graphs.append(g)
         if progress:
             print(f"ingested {file_name}: {counter + 1} records so far")
     return graphs, invalid
+
+
+# Datasets with more records than this stream to a sharded cache by
+# default (shard_size=None below): the single-file build path's peak RSS
+# scales with the dataset (list + concatenate + compress) while the
+# streaming path's is bounded by one shard.
+STREAM_RECORD_THRESHOLD = 100_000
+DEFAULT_SHARD_SIZE = 20_000
 
 
 def load_qsar_dataset(
@@ -245,23 +356,46 @@ def load_qsar_dataset(
     cache_dir: Optional[str] = None,
     backend: str = "native",
     gnn_type: str = "kgnn",
+    shard_size: Optional[int] = None,
 ) -> Dataset:
     """Full pipeline: (cached) ingest -> split -> Dataset.
 
     ``split_file`` may point at a shipped reference ``.pt`` artifact;
     otherwise the split is regenerated bit-identically from the known
     active/inactive counts (utils/data_split.py defaults: seed 2, shrink).
+
+    ``shard_size``: None (default) = stream to a sharded cache when the
+    dataset exceeds STREAM_RECORD_THRESHOLD records; 0 = always the
+    single-file cache; >0 = always stream with that shard size. (kgnn
+    cache family only; chironet keeps its object cache.)
     """
     if dataset not in DATASET_INFO:
         raise ValueError(f"Invalid dataset name {dataset}")
     cache_dir = cache_dir or os.path.join(root, "processed")
     cpath = _cache_path(cache_dir, dataset, backend, gnn_type)
+    info = DATASET_INFO[dataset]
+    if shard_size is None:
+        n_records = info["num_active"] + info["num_inactive"]
+        shard_size = (
+            DEFAULT_SHARD_SIZE if n_records > STREAM_RECORD_THRESHOLD else 0
+        )
+    if gnn_type == "chironet":
+        shard_size = 0
     if os.path.exists(cpath):
         if gnn_type == "chironet":
             payload = np.load(cpath, allow_pickle=True).item()
             graphs, invalid = payload["graphs"], payload["invalid"]
         else:
             graphs, invalid = load_graph_cache(cpath)
+    elif os.path.exists(cpath + ".manifest.json"):
+        graphs, invalid = load_graph_cache_sharded(cpath)
+    elif shard_size:
+        writer = StreamingCacheWriter(cpath, shard_size=shard_size)
+        _, invalid = ingest_qsar_sdf(
+            root, dataset, backend=backend, gnn_type=gnn_type, writer=writer
+        )
+        writer.close(invalid)
+        graphs, invalid = load_graph_cache_sharded(cpath)
     else:
         graphs, invalid = ingest_qsar_sdf(
             root, dataset, backend=backend, gnn_type=gnn_type

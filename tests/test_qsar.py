@@ -68,6 +68,67 @@ def test_cache_roundtrip(qsar_root, tmp_path):
         assert a.y == b.y and a.idx == b.idx
 
 
+def test_sharded_cache_matches_single_file(qsar_root, tmp_path):
+    """StreamingCacheWriter shards + manifest must reproduce the
+    single-file cache bit-for-bit (graphs, order, invalid records) — the
+    341k-scale ingest path (VERDICT r4 #3) must change memory behavior
+    only, never data."""
+    from molkgnn_tpu.data.qsar import (
+        StreamingCacheWriter,
+        load_graph_cache_sharded,
+    )
+
+    graphs, invalid = ingest_qsar_sdf(qsar_root, "9999", progress=False)
+    invalid = invalid + [(99, 0)]  # exercise invalid round-trip
+    cpath = str(tmp_path / "cache.npz")
+    # shard_size=5 over 12 graphs -> 3 shards incl. a ragged tail.
+    writer = StreamingCacheWriter(cpath, shard_size=5)
+    _, inv_stream = ingest_qsar_sdf(
+        qsar_root, "9999", progress=False, writer=writer
+    )
+    writer.close(invalid)
+    assert writer.num_shards == 3 and writer.num_graphs == 12
+    assert not os.path.exists(cpath)  # no single-file cache was written
+
+    loaded, inv2 = load_graph_cache_sharded(cpath)
+    assert len(loaded) == len(graphs)
+    assert inv2 == invalid
+    for a, b in zip(graphs, loaded):
+        np.testing.assert_array_equal(a.x, b.x)
+        np.testing.assert_array_equal(a.p, b.p)
+        np.testing.assert_array_equal(a.edge_index, b.edge_index)
+        np.testing.assert_array_equal(a.edge_attr, b.edge_attr)
+        assert a.y == b.y and a.idx == b.idx and a.smiles == b.smiles
+
+
+def test_load_qsar_dataset_streaming_path(qsar_root, tmp_path):
+    """load_qsar_dataset(shard_size=N) builds + warm-loads the sharded
+    cache and yields the same Dataset as the single-file path."""
+    single = load_qsar_dataset(
+        qsar_root, "9999", seed=2, shrink=True,
+        cache_dir=str(tmp_path / "single"),
+    )
+    streamed = load_qsar_dataset(
+        qsar_root, "9999", seed=2, shrink=True,
+        cache_dir=str(tmp_path / "sharded"), shard_size=5,
+    )
+    assert len(streamed.graphs) == len(single.graphs)
+    for part in ("train", "valid", "test"):
+        np.testing.assert_array_equal(streamed.split[part], single.split[part])
+    for a, b in zip(single.graphs, streamed.graphs):
+        np.testing.assert_array_equal(a.x, b.x)
+        assert a.y == b.y and a.idx == b.idx
+    # Warm load hits the manifest (no single-file cache exists).
+    assert not os.path.exists(
+        os.path.join(tmp_path, "sharded", "kgnn-9999-3D-native.npz")
+    )
+    warm = load_qsar_dataset(
+        qsar_root, "9999", seed=2, shrink=True,
+        cache_dir=str(tmp_path / "sharded"), shard_size=5,
+    )
+    assert len(warm.graphs) == len(single.graphs)
+
+
 def test_make_split_reference_semantics():
     split = make_split(37, 226, seed=2, shrink=True)
     # sizes per utils/data_split.py rounding
