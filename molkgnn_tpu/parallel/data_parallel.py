@@ -43,6 +43,7 @@ def shard_scan_steps(
     spec,
     mesh: Mesh,
     axis: str = "data",
+    chunk: int = 0,
 ):
     """Device-resident DP training: scan K optimizer steps per dispatch over
     a mesh, assembling each chip's sub-batch ON DEVICE from sampled ids.
@@ -60,6 +61,10 @@ def shard_scan_steps(
     gradients over ``axis_name`` (the Trainer's step does). Returns a jitted
     ``fn(state, device_data, ids_block[K, ndev, B]) -> (state, loss[K])``
     with replicated outputs.
+
+    ``chunk`` > 0 nests the K-step scan as (K//chunk x chunk) when chunk
+    divides K — identical step sequence, program loop body bounded by the
+    chunk (TrainConfig.scan_chunk rationale).
     """
 
     def per_device(state, data, ids_block):  # ids_block local: [K, 1, B]
@@ -67,6 +72,17 @@ def shard_scan_steps(
             new_st, loss = step_fn(st, gather(data, ids[0], spec), axis_name=axis)
             return new_st, jax.lax.pmean(loss, axis)
 
+        k = ids_block.shape[0]
+        if chunk and k > chunk and k % chunk == 0:
+            blocks = ids_block.reshape(
+                k // chunk, chunk, *ids_block.shape[1:]
+            )
+
+            def outer(st, blk):
+                return jax.lax.scan(body, st, blk)
+
+            st, losses = jax.lax.scan(outer, state, blocks)
+            return st, losses.reshape(k)
         return jax.lax.scan(body, state, ids_block)
 
     sharded = shard_map(
@@ -88,6 +104,7 @@ def shard_sample_steps(
     k: int,
     salt: int,
     axis: str = "data",
+    chunk: int = 0,
 ):
     """Device-resident DP training with ON-DEVICE id sampling: zero
     per-step host input at any device count.
@@ -120,6 +137,16 @@ def shard_sample_steps(
             edges = jax.lax.psum(data.edge_count[ids].sum(), axis)
             return new_st, (jax.lax.pmean(loss, axis), edges)
 
+        if chunk and k > chunk and k % chunk == 0:
+            # Nested (K//chunk x chunk) form: identical step sequence,
+            # program size bounded by the chunk (TrainConfig.scan_chunk).
+            def outer(st, _):
+                return jax.lax.scan(body, st, None, length=chunk)
+
+            new_state, (losses, edges) = jax.lax.scan(
+                outer, state, None, length=k // chunk
+            )
+            return new_state, losses.reshape(k), edges.reshape(k)
         new_state, (losses, edges) = jax.lax.scan(
             body, state, None, length=k
         )

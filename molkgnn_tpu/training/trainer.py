@@ -377,7 +377,8 @@ class Trainer:
                     self._device_data, NamedSharding(mesh, PartitionSpec())
                 )
                 self._train_steps_scan_dp = shard_scan_steps(
-                    self._train_step_fn, self._gather_fn, spec, mesh
+                    self._train_step_fn, self._gather_fn, spec, mesh,
+                    chunk=config.scan_chunk,
                 )
                 if config.device_sampling:
                     self._init_sample_consts()
@@ -616,7 +617,8 @@ class Trainer:
             from molkgnn_tpu.parallel.data_parallel import shard_sample_steps
 
             prog = shard_sample_steps(
-                step_fn, gather_batch, spec, self.mesh, bs, k, salt
+                step_fn, gather_batch, spec, self.mesh, bs, k, salt,
+                chunk=self.config.scan_chunk,
             )
             self._sample_programs[k] = prog
             return prog

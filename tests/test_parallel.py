@@ -139,6 +139,41 @@ def test_dp_device_data_scan_matches_single_device_scan():
         )
 
 
+def test_dp_scan_chunk_matches_flat_dp_scan():
+    """The nested (K//chunk x chunk) DP scan (shard_scan_steps chunk=...)
+    must equal the flat DP scan step-for-step — the multi-chip twin of
+    tests/test_training.py::test_scan_chunk_matches_flat_scan."""
+    mesh = make_mesh(2)
+    _, _, flat_tr = _setup(mesh=mesh)
+    _, _, nest_tr = _setup(mesh=mesh)
+    nest_tr.config.scan_chunk = 2
+    from molkgnn_tpu.parallel.data_parallel import shard_scan_steps
+
+    nest_prog = shard_scan_steps(
+        nest_tr._train_step_fn, nest_tr._gather_fn, nest_tr.spec, mesh,
+        chunk=2,
+    )
+
+    rng = np.random.default_rng(4)
+    k = 4
+    dp_block = rng.integers(0, 64, size=(k, 2, 4)).astype(np.int32)
+    f_state, f_loss = flat_tr._train_steps_scan_dp(
+        flat_tr.state, flat_tr._device_data, dp_block
+    )
+    n_state, n_loss = nest_prog(
+        nest_tr.state, nest_tr._device_data, dp_block
+    )
+    np.testing.assert_allclose(
+        np.asarray(n_loss), np.asarray(f_loss), rtol=1e-6
+    )
+    for a, b in zip(
+        jax.tree.leaves(f_state.params), jax.tree.leaves(n_state.params)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7
+        )
+
+
 def test_dp_device_data_fit_epoch_runs_and_evaluates():
     mesh = make_mesh(4)
     ds, spec, trainer = _setup(mesh=mesh, batch_size=2)
