@@ -488,14 +488,14 @@ def main():
     # spread (the tunnel disappears from the measurement). Optional so a
     # slow-link day still emits the tracked rows. Device-sampled (the host
     # path's per-dispatch id block is MBs of H2D a degraded link cannot
-    # move). The flat (b8192 x scan80) program exceeds the relay backend's
-    # remote-compile capacity (UNAVAILABLE; host ids too — bisected r4,
-    # benchmarks/B8192_BISECT.json), so the row runs the SAME 80-step
-    # window NESTED as 8x10 (scan_steps=80, scan_chunk=10): one dispatch
-    # per window, identical step sequence to the headline (parity:
-    # tests/test_training.py::test_scan_chunk_matches_flat_scan). If the
-    # nested compile also dies on a bad relay day, fall back to flat
-    # scan=10 (8 dispatches of 10) when budget remains.
+    # move). Scan structure (bisected r4+r5, benchmarks/B8192_BISECT.json):
+    # EVERY K=80 structure fails the relay's remote compile at this batch
+    # (flat, 8x10, 16x5 — the compiler evidently expands through loop
+    # nesting and dies on total fused step count), while K<=40 NESTED
+    # compiles ~3x faster than flat scan10 (127 s for 4x10 vs 437 s).
+    # So the row runs scan_steps=40 nested 4x10 (identical step sequence
+    # to the headline, tests/test_training.py::test_scan_chunk_matches_
+    # flat_scan); the 80-step window is 2 dispatches. Fallback: 2x10.
     r8192 = None
     if budget_left() > 150:
         ds8192 = make_synthetic_dataset(seed=0, num_graphs=2 * 8192)
@@ -503,15 +503,15 @@ def main():
             "b8192_bf16_devsample",
             lambda: _Runner(
                 8192, "bfloat16", ds8192, device_sample=True,
-                scan_steps=80, scan_chunk=10,
+                scan_steps=40, scan_chunk=10,
             ),
         )
         if r8192 is None and budget_left() > 150:
             r8192 = safe(
-                "b8192_bf16_devsample_scan10",
+                "b8192_bf16_devsample_scan20",
                 lambda: _Runner(
                     8192, "bfloat16", ds8192, device_sample=True,
-                    scan_steps=10,
+                    scan_steps=20, scan_chunk=10,
                 ),
             )
         if r8192:

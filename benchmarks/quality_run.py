@@ -1,26 +1,37 @@
-"""Full-length quality run at AID scale (VERDICT r4 #4).
+"""Full-length quality runs at AID scale (VERDICT r4 #4).
 
 The closest legal stand-in for the real-AID reproduction (no PubChem SDF
 is mounted in any environment seen so far): the full AID-1798 record
 counts (187 actives / 61,645 inactives — /root/reference/utils/
-data_split.py:68-79) with a STRUCTURAL label: actives are drawn from a
-disjoint template-molecule pool (distinct scaffolds), so the classifier
-must learn real featurization differences — unlike the throughput
-benches, whose labels are arbitrary. Flagship hyperparams (Supplement
-Table 3 / MolKGNNNet.py:162-174): 4 layers, kernels 10/20/30/50, hidden
-32, dropout 0.2, warmup 300, peak LR 5e-3, end 1e-10, weight decay 1e-3,
+data_split.py:68-79) with STRUCTURAL labels, run through the real
+`molkgnn` CLI at flagship hyperparams (Supplement Table 3 /
+MolKGNNNet.py:162-174): 4 layers, kernels 10/20/30/50, hidden 32,
+dropout 0.2, warmup 300, peak LR 5e-3, end 1e-10, weight decay 1e-3,
 20 epochs; batch 32 with oversampling (the b16-b32 semantics of the
-search space, Supplement Table 2). Runs through the real `molkgnn` CLI
-on the jax-CPU backend (the TPU link has been degraded for every recent
-window; the loop is identical).
+search space, Supplement Table 2). jax-CPU backend (the TPU link has
+been degraded for every recent window; the loop is identical).
+
+Two tasks, two difficulty regimes:
+
+* ``scaffold``: actives drawn from a disjoint drug-like template pool,
+  inactives from small aliphatics. Separable from the 28-d features —
+  the model saturates within epoch 0 (logAUC 1.0), which proves the
+  full-scale pipeline end-to-end but shows no learning dynamics.
+* ``enantiomer``: every inactive is an EXACT MIRROR conformer of the
+  active scaffolds (same atoms, bonds, distances, angles — handedness
+  normalized at the stereocenter via the signed substituent volume, so
+  label == chirality sign and nothing else). Only the kernel conv's
+  chirality machinery (the reference's core contribution) can separate
+  the classes; the learning curve is real evidence.
 
 Success bar: test logAUC[0.001,0.1] well above the 0.0215 random floor
 at full dataset scale and full epoch count.
 
-Writes benchmarks/QUALITY_RUN.json + copies history.json/test_result.log
-into benchmarks/quality_run/.
+Writes benchmarks/QUALITY_RUN.json + copies history.json /
+test_result.log into benchmarks/quality_run/<task>/.
 """
 
+import copy
 import json
 import os
 import shutil
@@ -28,12 +39,14 @@ import subprocess
 import sys
 import time
 
-HERE = os.path.dirname(os.path.abspath(__file__))
-sys.path.insert(0, HERE)
-from bench_ingest import _write_aid  # noqa: E402
+import numpy as np
 
-# Disjoint scaffold pools: drug-like actives vs small aliphatic/simple
-# inactives. The model must separate them from the 28-d features alone.
+HERE = os.path.dirname(os.path.abspath(__file__))
+
+N_ACTIVE, N_INACTIVE = 187, 61645  # AID 1798 (utils/data_split.py:68-79)
+
+# Disjoint scaffold pools (task "scaffold"): drug-like actives vs small
+# aliphatic inactives — the model must separate them from features alone.
 ACTIVE_SMILES = [
     "CC(C)Cc1ccc(cc1)C(C)C(=O)O",    # ibuprofen
     "CC(=O)Oc1ccccc1C(=O)O",         # aspirin
@@ -50,50 +63,125 @@ INACTIVE_SMILES = [
     "CCCC(=O)O", "CCOC(=O)C", "CCCCCCCC", "CC1CCCCC1", "OCC(O)CO",
 ]
 
+# Chiral scaffolds (task "enantiomer"): one carbon with four
+# pairwise-distinct-element substituents, so the stereocenter and a
+# canonical substituent order are unambiguous.
+CHIRAL_SMILES = [
+    "FC(Cl)Br", "CC(F)Cl", "CC(N)O", "NC(F)Cl",
+    "CC(O)F", "OC(F)Cl", "CC(Br)Cl", "CC(N)F",
+]
 
-def _templates(smiles, n, seed0):
+
+def _embed(smi, seed, iterations=60):
     from molkgnn_tpu.chem.embed import embed_molecule
     from molkgnn_tpu.chem.smiles import parse_smiles
 
-    out = []
-    for i in range(n):
-        m = parse_smiles(smiles[i % len(smiles)], add_hs=True)
-        pos = embed_molecule(m, seed=seed0 + i, iterations=40)
-        for k, a in enumerate(m.atoms):
-            a.x, a.y, a.z = map(float, pos[k])
-        out.append(m)
+    m = parse_smiles(smi, add_hs=True)
+    pos = embed_molecule(m, seed=seed, iterations=iterations)
+    return m, np.asarray(pos, float)
+
+
+def _with_pos(m, pos):
+    mm = copy.deepcopy(m)
+    for k, a in enumerate(mm.atoms):
+        a.x, a.y, a.z = map(float, pos[k])
+    return mm
+
+
+def _chiral_pair(smi, seed):
+    """(plus, minus): an embedded conformer normalized to + handedness at
+    its stereocenter, and its exact mirror image. Handedness = sign of the
+    substituent triple product in atomic-number order, so the label
+    correlates with chirality and nothing else (mirroring preserves every
+    distance and angle)."""
+    from molkgnn_tpu.chem import periodic
+
+    m, pos = _embed(smi, seed)
+    center, order = None, None
+    for i in range(len(m.atoms)):
+        nb = [a for a, _ in m.neighbors(i)]
+        if len(nb) == 4:
+            zs = [periodic.atomic_number(m.atoms[a].symbol) for a in nb]
+            if len(set(zs)) == 4:
+                center = i
+                order = [a for _, a in sorted(zip(zs, nb))]
+                break
+    assert center is not None, f"no unambiguous stereocenter in {smi}"
+    a, b, c, d = (pos[j] for j in order)
+    if float(np.dot(np.cross(b - a, c - a), d - a)) < 0:
+        pos = pos * np.array([-1.0, 1.0, 1.0])
+    mirror = pos * np.array([-1.0, 1.0, 1.0])
+    return _with_pos(m, pos), _with_pos(m, mirror)
+
+
+def _write_sdf_cycle(path, mols, n):
+    from molkgnn_tpu.chem.sdf import to_molblock
+
+    blocks = [to_molblock(m) for m in mols]
+    with open(path, "w") as f:
+        for i in range(n):
+            f.write(blocks[i % len(blocks)])
+            f.write("$$$$\n")
+
+
+def _parse_test_result(text):
+    out, section = {}, None
+    for line in text.splitlines():
+        line = line.strip()
+        if line.startswith("[") and line.endswith("]"):
+            section = line[1:-1]
+            out[section] = {}
+        elif ":" in line and section is not None:
+            k, v = line.split(":", 1)
+            out[section][k.strip()] = float(v.strip())
     return out
 
 
-def main():
+def _build_scaffold_sdfs(raw):
+    act = []
+    for i in range(64):
+        m, pos = _embed(ACTIVE_SMILES[i % len(ACTIVE_SMILES)], 1000 + i, 40)
+        act.append(_with_pos(m, pos))
+    inact = []
+    for i in range(200):
+        m, pos = _embed(INACTIVE_SMILES[i % len(INACTIVE_SMILES)], i, 40)
+        inact.append(_with_pos(m, pos))
+    _write_sdf_cycle(os.path.join(raw, "1798_actives_new.sdf"), act, N_ACTIVE)
+    _write_sdf_cycle(
+        os.path.join(raw, "1798_inactives_new.sdf"), inact, N_INACTIVE
+    )
+
+
+def _build_enantiomer_sdfs(raw):
+    plus, minus = [], []
+    for i in range(200):
+        p, q = _chiral_pair(CHIRAL_SMILES[i % len(CHIRAL_SMILES)], seed=i)
+        plus.append(p)
+        minus.append(q)
+    _write_sdf_cycle(os.path.join(raw, "1798_actives_new.sdf"), plus, N_ACTIVE)
+    _write_sdf_cycle(
+        os.path.join(raw, "1798_inactives_new.sdf"), minus, N_INACTIVE
+    )
+
+
+def run_task(task, build_sdfs):
     out = {
         "box": "2-core x86 (dev container), jax-CPU backend",
-        "dataset": "1798-scale structural labels (disjoint scaffold pools)",
+        "records": N_ACTIVE + N_INACTIVE,
         "config": "flagship: 4 layers, kernels 10/20/30/50, hidden 32, "
         "dropout 0.2, b32+oversampling, warmup 300, peak 5e-3, 20 epochs",
         "random_floor_logAUC": 0.0215,
     }
-    root = "/tmp/quality_run/dataset/qsar/clean_sdf"
-    run_dir = "/tmp/quality_run/run"
+    base = f"/tmp/quality_run/{task}"
+    if os.path.isdir(base):
+        shutil.rmtree(base)
+    root = os.path.join(base, "dataset", "qsar", "clean_sdf")
     raw = os.path.join(root, "raw")
+    run_dir = os.path.join(base, "run")
     os.makedirs(raw, exist_ok=True)
 
     t0 = time.time()
-    act = _templates(ACTIVE_SMILES, 64, seed0=1000)
-    inact = _templates(INACTIVE_SMILES, 200, seed0=0)
-    # _write_aid cycles one template list for both files; write each file
-    # from its own pool instead.
-    from molkgnn_tpu.chem.sdf import to_molblock
-
-    for fname, pool, n in (
-        ("1798_actives_new.sdf", act, 187),
-        ("1798_inactives_new.sdf", inact, 61645),
-    ):
-        blocks = [to_molblock(m) for m in pool]
-        with open(os.path.join(raw, fname), "w") as f:
-            for i in range(n):
-                f.write(blocks[i % len(blocks)])
-                f.write("$$$$\n")
+    build_sdfs(raw)
     out["sdf_write_s"] = round(time.time() - t0, 1)
 
     env = dict(os.environ, JAX_PLATFORMS="cpu", PALLAS_AXON_POOL_IPS="")
@@ -102,7 +190,7 @@ def main():
         [
             sys.executable, "-m", "molkgnn_tpu.cli.entry",
             "--dataset_name", "1798",
-            "--dataset_path", "/tmp/quality_run/dataset",
+            "--dataset_path", os.path.join(base, "dataset"),
             "--default_root_dir", run_dir,
             "--num_layers", "4", "--hidden_dim", "32",
             "--dropout_ratio", "0.2",
@@ -111,7 +199,7 @@ def main():
             "--enable_oversampling_with_replacement", "--device_sampling",
             "--scan_steps", "16",
         ],
-        env=env, capture_output=True, text=True, timeout=14000,
+        env=env, capture_output=True, text=True, timeout=13000,
     )
     out["wall_s"] = round(time.time() - t0, 1)
     out["returncode"] = r.returncode
@@ -124,26 +212,37 @@ def main():
         with open(hist_path) as f:
             hist = json.load(f)
         out["epochs_completed"] = len(hist)
-        out["curve_logAUC_0.001_0.1"] = [
-            round(h.get("logAUC_0.001_0.1", float("nan")), 4) for h in hist
-        ]
-        out["curve_AUC"] = [round(h.get("AUC", float("nan")), 4) for h in hist]
-        out["curve_loss"] = [round(h.get("loss", float("nan")), 4) for h in hist]
+        for key, name in (
+            ("logAUC_0.001_0.1", "curve_logAUC_0.001_0.1"),
+            ("AUC", "curve_AUC"),
+            ("loss", "curve_loss"),
+        ):
+            out[name] = [round(h.get(key, float("nan")), 4) for h in hist]
     tr_path = os.path.join(logs, "test_result.log")
     if os.path.exists(tr_path):
         with open(tr_path) as f:
-            out["test_result"] = json.loads(f.read().strip())
+            out["test_result"] = _parse_test_result(f.read())
 
-    keep = os.path.join(HERE, "quality_run")
+    keep = os.path.join(HERE, "quality_run", task)
     os.makedirs(keep, exist_ok=True)
     for f in ("history.json", "test_result.log", "task_info.log"):
         src = os.path.join(logs, f)
         if os.path.exists(src):
             shutil.copy(src, os.path.join(keep, f))
+    return out
 
+
+def main():
+    results = {}
+    for task, builder in (
+        ("scaffold", _build_scaffold_sdfs),
+        ("enantiomer", _build_enantiomer_sdfs),
+    ):
+        print(f"=== task {task}", flush=True)
+        results[task] = run_task(task, builder)
+        print(json.dumps(results[task], indent=2), flush=True)
     with open(os.path.join(HERE, "QUALITY_RUN.json"), "w") as f:
-        json.dump(out, f, indent=2)
-    print(json.dumps(out, indent=2))
+        json.dump(results, f, indent=2)
 
 
 if __name__ == "__main__":
