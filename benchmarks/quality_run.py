@@ -22,7 +22,15 @@ Two tasks, two difficulty regimes:
   normalized at the stereocenter via the signed substituent volume, so
   label == chirality sign and nothing else). Only the kernel conv's
   chirality machinery (the reference's core contribution) can separate
-  the classes; the learning curve is real evidence.
+  the classes; the learning curve is real evidence. Config note
+  (measured, /tmp-scale diagnosis in this round's log): the 4-layer
+  flagship plateaus at AUC ~0.55 on PURE-chirality labels while a
+  1-layer model learns them to AUC ~0.9 — the chirality score acts on
+  the LAST layer's neighbor features, which deep message passing has
+  already mixed molecule-wide. The task therefore runs the 1-layer
+  configuration (depth is inside the reference's search space,
+  Supplement Table 2 layers {1-5}); the 4-layer null result is kept in
+  the artifact as flagship_enantiomer.
 
 Success bar: test logAUC[0.001,0.1] well above the 0.0215 random floor
 at full dataset scale and full epoch count.
@@ -164,11 +172,12 @@ def _build_enantiomer_sdfs(raw):
     )
 
 
-def run_task(task, build_sdfs):
+def run_task(task, build_sdfs, model_args=None, config_note=None):
     out = {
         "box": "2-core x86 (dev container), jax-CPU backend",
         "records": N_ACTIVE + N_INACTIVE,
-        "config": "flagship: 4 layers, kernels 10/20/30/50, hidden 32, "
+        "config": config_note
+        or "flagship: 4 layers, kernels 10/20/30/50, hidden 32, "
         "dropout 0.2, b32+oversampling, warmup 300, peak 5e-3, 20 epochs",
         "random_floor_logAUC": 0.0215,
     }
@@ -192,13 +201,17 @@ def run_task(task, build_sdfs):
             "--dataset_name", "1798",
             "--dataset_path", os.path.join(base, "dataset"),
             "--default_root_dir", run_dir,
-            "--num_layers", "4", "--hidden_dim", "32",
-            "--dropout_ratio", "0.2",
+            "--hidden_dim", "32",
             "--batch_size", "32", "--max_epochs", "20",
-            "--warmup_iterations", "300", "--peak_lr", "5e-3",
+            "--warmup_iterations", "300",
             "--enable_oversampling_with_replacement", "--device_sampling",
             "--scan_steps", "16",
-        ],
+        ]
+        + (
+            model_args
+            or ["--num_layers", "4", "--dropout_ratio", "0.2",
+                "--peak_lr", "5e-3"]
+        ),
         env=env, capture_output=True, text=True, timeout=13000,
     )
     out["wall_s"] = round(time.time() - t0, 1)
@@ -232,18 +245,38 @@ def run_task(task, build_sdfs):
     return out
 
 
-def main():
+ENANT_ARGS = [
+    "--num_layers", "1", "--dropout_ratio", "0.0",
+    "--ffn_dropout_rate", "0.0", "--peak_lr", "1e-2",
+]
+ENANT_NOTE = (
+    "1 layer, kernels 10/20/30/50, hidden 32, no dropout, peak 1e-2, "
+    "b32+oversampling, 20 epochs — pure-chirality labels need a shallow "
+    "model (see module docstring); depth is inside the reference search "
+    "space (Supplement Table 2)"
+)
+
+
+TASKS = {
+    "scaffold": (_build_scaffold_sdfs, None, None),
+    "enantiomer": (_build_enantiomer_sdfs, ENANT_ARGS, ENANT_NOTE),
+}
+
+
+def main(only=None):
     results = {}
-    for task, builder in (
-        ("scaffold", _build_scaffold_sdfs),
-        ("enantiomer", _build_enantiomer_sdfs),
-    ):
+    if os.path.exists(os.path.join(HERE, "QUALITY_RUN.json")):
+        with open(os.path.join(HERE, "QUALITY_RUN.json")) as f:
+            results = json.load(f)
+    for task, (builder, margs, note) in TASKS.items():
+        if only and task != only:
+            continue
         print(f"=== task {task}", flush=True)
-        results[task] = run_task(task, builder)
+        results[task] = run_task(task, builder, margs, note)
         print(json.dumps(results[task], indent=2), flush=True)
     with open(os.path.join(HERE, "QUALITY_RUN.json"), "w") as f:
         json.dump(results, f, indent=2)
 
 
 if __name__ == "__main__":
-    main()
+    main(only=sys.argv[1] if len(sys.argv) > 1 else None)
