@@ -108,6 +108,13 @@ def build_parser(gnn_type: str) -> argparse.ArgumentParser:
         g.add_argument("--edge_feature_dim", type=int, default=7)
         g.add_argument("--hidden_dim", type=int, default=32)
         g.add_argument("--dropout_ratio", type=float, default=0.0)
+        # Framework extension (default off = reference parity): apply the
+        # deg-4 chirality sign at every layer, not only the last — deep
+        # stacks lose pure-chirality signal otherwise (QUALITY.md 2b,
+        # models/kgnn.py::MolGCN.chirality_every_layer).
+        g.add_argument(
+            "--chirality_every_layer", action="store_true", default=False
+        )
     elif gnn_type == "schnet":
         g = p.add_argument_group("SchNet")
         g.add_argument("--num_layers", type=int, default=6)
@@ -183,6 +190,7 @@ def build_encoder(args):
             edge_dim=args.edge_feature_dim,
             graph_embedding_dim=args.hidden_dim,
             drop_ratio=args.dropout_ratio,
+            chirality_every_layer=args.chirality_every_layer,
         )
     elif args.gnn_type == "schnet":
         enc = fam.make_encoder(

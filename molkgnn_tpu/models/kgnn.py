@@ -421,6 +421,18 @@ class MolGCN(nn.Module):
     # kernel-score vectors where no designed kernels exist.
     fixed_kernels: tuple | None = None
     sow_scores: bool = False
+    # Framework extension (off = reference parity): apply the deg-4
+    # chirality sign at EVERY layer instead of only the last
+    # (KernelLayer.py:113-117 gates it on is_last_layer). Measured
+    # motivation (benchmarks/QUALITY_RUN.json flagship_enantiomer +
+    # QUALITY.md 2b): on PURE-chirality labels the 4-layer stack
+    # plateaus at AUC ~0.52 because the last layer's neighbor features
+    # have been mixed molecule-wide by 3 rounds of message passing,
+    # while layer-0 features still distinguish the stereocenter's
+    # substituents; scoring chirality at every layer restores the
+    # signal at depth (tests/test_learning.py::
+    # test_chirality_every_layer_fixes_deep_models).
+    chirality_every_layer: bool = False
 
     @nn.compact
     def __call__(self, batch: GraphBatch, x: jnp.ndarray) -> jnp.ndarray:
@@ -444,7 +456,10 @@ class MolGCN(nn.Module):
                 h,
                 batch.p,
                 batch.buckets(),
-                is_last_layer=(i == self.num_layers - 1),
+                is_last_layer=(
+                    self.chirality_every_layer
+                    or i == self.num_layers - 1
+                ),
             )
             h = gather_scatter_add(
                 sc,
@@ -486,6 +501,9 @@ class MolKGNNNet(nn.Module):
     matmul_dtype: str | None = None
     fixed_kernels: tuple | None = None
     sow_scores: bool = False
+    # Framework extension (off = reference parity): see
+    # MolGCN.chirality_every_layer.
+    chirality_every_layer: bool = False
 
     @nn.compact
     def __call__(
@@ -511,6 +529,7 @@ class MolKGNNNet(nn.Module):
             matmul_dtype=self.matmul_dtype,
             fixed_kernels=self.fixed_kernels,
             sow_scores=self.sow_scores,
+            chirality_every_layer=self.chirality_every_layer,
             name="gnn",
         )(batch, x)
 

@@ -78,14 +78,15 @@ def test_learns_neighborhood_motif():
     assert auc > 0.8, f"motif not learned: best AUC {auc}"
 
 
-def test_learns_chirality_rule():
-    """Mirror-pair dataset: each molecule appears twice, once mirrored, with
-    opposite labels = sign of the tetrahedral determinant at its (unique)
-    degree-4 center. Features and all pairwise distances are identical
-    within a pair — ONLY the chirality sign distinguishes them."""
-    rng = np.random.default_rng(1)
+def _mirror_pair_graphs(seed=1, n=96):
+    """Mirror-pair dataset: each molecule appears twice, once mirrored,
+    with opposite labels = sign of the tetrahedral determinant at its
+    (unique) degree-4 center. Features and all pairwise distances are
+    identical within a pair — ONLY the chirality sign distinguishes
+    them."""
+    rng = np.random.default_rng(seed)
     graphs = []
-    while len(graphs) < 96:
+    while len(graphs) < n:
         g = random_molgraph(rng, num_atoms=12)
         f4 = g.fields[4]
         if f4.count != 1:
@@ -101,6 +102,13 @@ def test_learns_chirality_rule():
         mirrored.fields = None  # receptive fields are position-independent
         graphs.append(g)
         graphs.append(mirrored.with_fields())
+    return graphs
+
+
+def test_learns_chirality_rule():
+    """1-layer model learns the mirror-pair rule (see _mirror_pair_graphs):
+    only the chirality sign machinery can separate the classes."""
+    graphs = _mirror_pair_graphs()
 
     ds = _dataset(graphs, 72)
     spec = spec_for_graphs(graphs, batch_size=24)
@@ -118,3 +126,32 @@ def test_learns_chirality_rule():
     trainer.fit()
     auc = max(h["AUC"] for h in trainer.history)
     assert auc > 0.8, f"chirality rule not learned: best AUC {auc}"
+
+
+def test_chirality_every_layer_fixes_deep_models():
+    """Measured at AID scale (QUALITY.md 2b): a DEEP stack plateaus near
+    AUC 0.5 on pure-chirality labels because the reference design applies
+    the chirality sign only at the LAST layer (KernelLayer.py:113-117),
+    whose neighbor features message passing has mixed molecule-wide. The
+    chirality_every_layer framework extension applies the sign at every
+    layer; the same deep model must then learn the mirror-pair rule."""
+    graphs = _mirror_pair_graphs(seed=2)
+    ds = _dataset(graphs, 72)
+    spec = spec_for_graphs(graphs, batch_size=24)
+    model = GNNModel(
+        encoder=MolKGNNNet(
+            num_layers=3, kernels_1hop=(2, 2, 2, 8),
+            kernels_nhop=(2, 2, 2, 8), graph_embedding_dim=16,
+            chirality_every_layer=True,
+        ),
+        ffn_dropout_rate=0.0,
+    )
+    cfg = TrainConfig(
+        batch_size=24, max_epochs=40, peak_lr=1e-2, warmup_iterations=10,
+        weight_decay=0.0, oversample=False, progress=False,
+        log_dir=tempfile.mkdtemp(prefix="mkt_"),
+    )
+    trainer = Trainer(model, ds, spec, cfg)
+    trainer.fit()
+    auc = max(h["AUC"] for h in trainer.history)
+    assert auc > 0.8, f"deep chirality not learned with flag: best AUC {auc}"
