@@ -1723,6 +1723,37 @@ def test_reference_checkpoint_import_round_trip(ref_molkgnn_pkg, tmp_path):
     scores = [float(ln.split(",")[1]) for ln in lines[1:]]
     assert len(scores) == 3 and all(np.isfinite(scores))
 
+    # Same port via the one-step CLI chain: torch.save -> molkgnn-import
+    # -> molkgnn-screen. Scores must match the in-process export's.
+    ckpt = tmp_path / "ref_state_dict.pt"
+    torch.save({"state_dict": sd}, str(ckpt))
+    art2 = tmp_path / "imported_cli.mkx"
+    r = subprocess.run(
+        [sys.executable, "-m", "molkgnn_tpu.cli.import_ckpt",
+         "--torch_ckpt", str(ckpt), "--sdf", str(sdf),
+         "--out", str(art2), "--batch_size", "4",
+         "--num_layers", "2",
+         "--num_kernel1_1hop", "2", "--num_kernel2_1hop", "3",
+         "--num_kernel3_1hop", "4", "--num_kernel4_1hop", "5",
+         "--num_kernel1_Nhop", "3", "--num_kernel2_Nhop", "4",
+         "--num_kernel3_Nhop", "2", "--num_kernel4_Nhop", "5",
+         "--hidden_dim", str(emb_dim)],
+        capture_output=True, text=True, timeout=300, env=env,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    out2 = tmp_path / "scores_cli.csv"
+    r = subprocess.run(
+        [sys.executable, "-m", "molkgnn_tpu.cli.screen",
+         "--exported", str(art2), "--sdf", str(sdf), "--out", str(out2)],
+        capture_output=True, text=True, timeout=300, env=env,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    scores2 = [
+        float(ln.split(",")[1])
+        for ln in out2.read_text().strip().splitlines()[1:]
+    ]
+    np.testing.assert_allclose(scores2, scores, rtol=1e-5, atol=1e-6)
+
 
 # ------------------------------------------- ChIRoNet full Encoder forward
 
