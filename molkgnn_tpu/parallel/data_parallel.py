@@ -37,6 +37,24 @@ def stack_shards(batches: Sequence) -> object:
     return jax.tree.map(lambda *xs: np.stack(xs, axis=0), *batches)
 
 
+def nested_sample_scan(body, state, k: int, chunk: int):
+    """Scan a ``body(st, _) -> (st, (loss, edges))`` K times, nested as
+    (K//chunk x chunk) when ``chunk`` divides K (TrainConfig.scan_chunk:
+    identical step sequence, program loop body bounded by the chunk).
+    Returns ``(state, losses[K], edges[K])``. Shared by the DP, halo, and
+    hybrid device-sampled step builders."""
+    if chunk and k > chunk and k % chunk == 0:
+        def outer(st, _):
+            return jax.lax.scan(body, st, None, length=chunk)
+
+        new_state, (losses, edges) = jax.lax.scan(
+            outer, state, None, length=k // chunk
+        )
+        return new_state, losses.reshape(k), edges.reshape(k)
+    new_state, (losses, edges) = jax.lax.scan(body, state, None, length=k)
+    return new_state, losses, edges
+
+
 def shard_scan_steps(
     step_fn: Callable,
     gather: Callable,
@@ -137,20 +155,7 @@ def shard_sample_steps(
             edges = jax.lax.psum(data.edge_count[ids].sum(), axis)
             return new_st, (jax.lax.pmean(loss, axis), edges)
 
-        if chunk and k > chunk and k % chunk == 0:
-            # Nested (K//chunk x chunk) form: identical step sequence,
-            # program size bounded by the chunk (TrainConfig.scan_chunk).
-            def outer(st, _):
-                return jax.lax.scan(body, st, None, length=chunk)
-
-            new_state, (losses, edges) = jax.lax.scan(
-                outer, state, None, length=k // chunk
-            )
-            return new_state, losses.reshape(k), edges.reshape(k)
-        new_state, (losses, edges) = jax.lax.scan(
-            body, state, None, length=k
-        )
-        return new_state, losses, edges
+        return nested_sample_scan(body, state, k, chunk)
 
     sharded = shard_map(
         per_device,

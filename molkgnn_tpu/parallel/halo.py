@@ -744,6 +744,7 @@ def halo_sample_steps(
     salt: int,
     axis: str = "data",
     loss_fn=bce_with_logits_loss,
+    chunk: int = 0,
 ):
     """K halo-partitioned optimizer steps per dispatch with ZERO per-step
     host input (VERDICT r3 item 2: the host-fed halo path pays loader
@@ -800,10 +801,9 @@ def halo_sample_steps(
             edges = jax.lax.psum(data.edge_count[mine].sum(), axis)
             return new_st, (loss, edges)
 
-        new_state, (losses, edges) = jax.lax.scan(
-            body, state, None, length=k
-        )
-        return new_state, losses, edges
+        from molkgnn_tpu.parallel.data_parallel import nested_sample_scan
+
+        return nested_sample_scan(body, state, k, chunk)
 
     fn = shard_map(
         per_device,

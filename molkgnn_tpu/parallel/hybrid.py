@@ -283,6 +283,7 @@ def hybrid_sample_steps(
     data_axis: str = "data",
     model_axis: str = "model",
     loss_fn=bce_with_logits_loss,
+    chunk: int = 0,
 ):
     """K hybrid (data x model) optimizer steps per dispatch with ZERO
     per-step host input — the 2D twin of halo.halo_sample_steps.
@@ -343,10 +344,9 @@ def hybrid_sample_steps(
             )
             return new_st, (loss, edges)
 
-        new_state, (losses, edges) = jax.lax.scan(
-            body, state, None, length=k
-        )
-        return new_state, losses, edges
+        from molkgnn_tpu.parallel.data_parallel import nested_sample_scan
+
+        return nested_sample_scan(body, state, k, chunk)
 
     fn = shard_map(
         per_device,

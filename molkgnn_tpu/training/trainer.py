@@ -598,7 +598,7 @@ class Trainer:
 
             prog = halo_sample_steps(
                 self.model, self.tx, self.mesh, self._shard_spec, bs, k,
-                salt, loss_fn=self.loss_fn,
+                salt, loss_fn=self.loss_fn, chunk=self.config.scan_chunk,
             )
             self._sample_programs[k] = prog
             return prog
@@ -607,7 +607,7 @@ class Trainer:
 
             prog = hybrid_sample_steps(
                 self.model, self.tx, self.mesh, self._shard_spec, bs, k,
-                salt, loss_fn=self.loss_fn,
+                salt, loss_fn=self.loss_fn, chunk=self.config.scan_chunk,
             )
             self._sample_programs[k] = prog
             return prog

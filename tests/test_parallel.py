@@ -1003,6 +1003,31 @@ def test_halo_sample_steps_match_single_device_devsample():
     )
     _assert_states_close(h_state, sd_state)
 
+    # scan_chunk parity on the halo path: k=4 nested as 2x2 must equal
+    # the flat halo scan step-for-step (the same TrainConfig.scan_chunk
+    # contract the single-device and DP twins enforce).
+    from molkgnn_tpu.parallel.halo import halo_sample_steps
+
+    k4 = 4
+    flat_prog = t_h._train_steps_sample(k4)
+    nest_prog = halo_sample_steps(
+        t_h.model, t_h.tx, t_h.mesh, t_h._shard_spec, 8, k4,
+        t_h._SAMPLE_SALT, loss_fn=t_h.loss_fn, chunk=2,
+    )
+    f_state, f_loss, f_edges = flat_prog(
+        jax.tree.map(jnp.array, t_h.state),
+        t_h._device_data, *t_h._sample_consts,
+    )
+    n_state, n_loss, n_edges = nest_prog(
+        jax.tree.map(jnp.array, t_h.state),
+        t_h._device_data, *t_h._sample_consts,
+    )
+    np.testing.assert_array_equal(np.asarray(n_edges), np.asarray(f_edges))
+    np.testing.assert_allclose(
+        np.asarray(n_loss), np.asarray(f_loss), rtol=1e-6
+    )
+    _assert_states_close(n_state, f_state)
+
 
 def test_hybrid_sample_steps_match_manual_global_batch():
     """hybrid_sample_steps (2 data groups x 2 model shards): one
