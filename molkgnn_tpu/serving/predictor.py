@@ -215,6 +215,7 @@ class Predictor:
         graphs: Sequence[MolGraph],
         probabilities: bool = False,
         slab: int = 100_000,
+        mesh=None,
     ) -> np.ndarray:
         """Virtual-screening scoring of an entire molecule library — the
         reference's actual production use (ranking PubChem HTS libraries
@@ -231,6 +232,14 @@ class Predictor:
         jit caches by the slab's flat-array shapes, so equal-size slabs of
         a homogeneous library reuse one program; heterogeneous slabs each
         pay a compile (trailing partial slab always does).
+
+        ``mesh``: data-parallel serving — the slab's packed arrays
+        replicate into every chip's HBM, the [nblocks, B] id matrix is
+        sharded over the mesh's 'data' axis (padded with masked all-(-1)
+        blocks to a device multiple), and each chip scores its own
+        blocks under ``shard_map``; scores gather back replicated. Same
+        numbers as the single-device path (test-enforced), throughput
+        scales with the mesh.
         """
         build, gather = self._device_pipeline()
         from molkgnn_tpu.graphs.device_pack import pad_ids
@@ -238,20 +247,49 @@ class Predictor:
         model, spec = self.model, self.spec
         b = spec.num_graphs
 
-        prog = getattr(self, "_screen_prog", None)
-        if prog is None:
+        if mesh is None:
+            prog = getattr(self, "_screen_prog", None)
+            if prog is None:
 
-            def scan_scores(variables, data, idm):
-                def body(_, ids):
-                    pred, _ = model.apply(
-                        variables, gather(data, ids, spec), train=False
-                    )
-                    return None, pred
+                def scan_scores(variables, data, idm):
+                    def body(_, ids):
+                        pred, _ = model.apply(
+                            variables, gather(data, ids, spec), train=False
+                        )
+                        return None, pred
 
-                _, preds = jax.lax.scan(body, None, idm)
-                return preds
+                    _, preds = jax.lax.scan(body, None, idm)
+                    return preds
 
-            prog = self._screen_prog = jax.jit(scan_scores)
+                prog = self._screen_prog = jax.jit(scan_scores)
+            ndev = 1
+        else:
+            prog = getattr(self, "_screen_prog_dp", None)
+            if prog is None or getattr(self, "_screen_mesh", None) is not mesh:
+                from jax import shard_map
+                from jax.sharding import PartitionSpec as P
+
+                def per_device(variables, data, idm_local):  # [K, 1, B]
+                    def body(_, ids):
+                        pred, _ = model.apply(
+                            variables, gather(data, ids[0], spec),
+                            train=False,
+                        )
+                        return None, pred
+
+                    _, preds = jax.lax.scan(body, None, idm_local)
+                    return preds[:, None]  # [K, 1, B]
+
+                sharded = shard_map(
+                    per_device,
+                    mesh=mesh,
+                    in_specs=(P(), P(), P(None, "data")),
+                    out_specs=P(None, "data"),
+                    check_vma=False,
+                )
+                prog = self._screen_prog_dp = jax.jit(sharded)
+                self._screen_mesh = mesh
+            ndev = int(mesh.shape["data"])
 
         counts, caps, names = self._batch_resource_counts(graphs)
         outs = []
@@ -264,6 +302,13 @@ class Predictor:
                     for s in range(0, len(chunk), b)
                 ]
             )
+            if ndev > 1 and idm.shape[0] % ndev:
+                # Pad the block axis to a device multiple with fully
+                # masked blocks (all -1 ids -> empty padded batches).
+                pad_rows = ndev - idm.shape[0] % ndev
+                idm = np.concatenate(
+                    [idm, np.full((pad_rows, b), -1, np.int32)]
+                )
             for row in idm:
                 sums = counts[s0 + row[row >= 0]].sum(axis=0)
                 if np.any(sums > caps):
@@ -280,8 +325,13 @@ class Predictor:
                         " (spec_for_graphs / point_spec_for_graphs)"
                     )
             data = build(chunk)
+            feed = (
+                idm.reshape(idm.shape[0] // ndev, ndev, b)
+                if ndev > 1
+                else idm
+            )
             preds = np.asarray(
-                prog(self.variables, data, jnp.asarray(idm))
+                prog(self.variables, data, jnp.asarray(feed))
             ).reshape(-1)
             outs.append(preds[(idm >= 0).reshape(-1)])
         out = np.concatenate(outs) if outs else np.zeros((0,))

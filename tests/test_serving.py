@@ -124,6 +124,43 @@ def test_screen_library_matches_predict_graphs():
     assert np.all((probs >= 0) & (probs <= 1))
 
 
+def test_screen_library_mesh_matches_single_device():
+    """Data-parallel serving (screen_library mesh=...): the id-block
+    matrix shards over the mesh and each chip scores its own blocks —
+    scores must equal the single-device path's exactly, including a
+    ragged block count that needs masked all-pad blocks to reach a
+    device multiple."""
+    import jax
+
+    from molkgnn_tpu.graphs import batch_graphs
+    from molkgnn_tpu.parallel import make_mesh
+
+    ds = make_synthetic_dataset(seed=23, num_graphs=50)
+    spec = spec_for_graphs(ds.graphs, batch_size=4)
+    model = GNNModel(
+        encoder=MolKGNNNet(
+            num_layers=1, kernels_1hop=(2, 3, 4, 5),
+            kernels_nhop=(2, 3, 4, 5), graph_embedding_dim=8,
+        ),
+        ffn_dropout_rate=0.0,
+    )
+    batch = batch_graphs(ds.graphs[:4], spec)
+    variables = jax.jit(lambda r, b: model.init(r, b, train=False))(
+        jax.random.key(0), batch
+    )
+    pred = Predictor(
+        model, variables["params"], variables.get("batch_stats", {}), spec
+    )
+    mesh = make_mesh(4)
+    want = pred.screen_library(ds.graphs)
+    # 50 graphs / b4 -> 13 blocks: not a multiple of 4 devices, so the
+    # mesh path pads with a masked all-(-1) block.
+    got = pred.screen_library(ds.graphs, mesh=mesh)
+    assert got.shape == want.shape == (50,)
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=1e-6)
+    assert pred._screen_prog_dp is not None
+
+
 def test_screen_library_raises_on_overflowing_batch():
     """The device gather cannot detect overflow, so screen_library must
     host-check every batch against the spec and raise (like the host
