@@ -675,9 +675,41 @@ class Trainer:
         (r4; previously _predict_ids dispatched once per batch — a split
         of thousands of molecules paid hundreds of link round trips per
         epoch). Programs cache per nblocks (splits have fixed sizes, so
-        at most one compile per split size per run)."""
+        at most one compile per split size per run).
+
+        With a data-parallel mesh (r5), the block matrix is sharded over
+        the 'data' axis under shard_map — each chip evaluates its own
+        blocks against the replicated dataset, so eval throughput scales
+        with the mesh like training's (``_predict_ids`` pads the block
+        count to a device multiple with masked all-(-1) blocks)."""
         gather_batch = self._gather_fn
         model, spec = self.model, self.spec
+
+        if self.mesh is not None and self.config.model_parallel is None:
+            from jax import shard_map
+            from jax.sharding import PartitionSpec as P
+
+            def per_device(params, batch_stats, data, ids_block):
+                def body(_, ids):  # ids_block local: [K, 1, B]
+                    pred, _ = model.apply(
+                        {"params": params, "batch_stats": batch_stats},
+                        gather_batch(data, ids[0], spec),
+                        train=False,
+                    )
+                    return None, pred
+
+                _, preds = jax.lax.scan(body, None, ids_block)
+                return preds[:, None]  # [K, 1, B]
+
+            return jax.jit(
+                shard_map(
+                    per_device,
+                    mesh=self.mesh,
+                    in_specs=(P(), P(), P(), P(None, "data")),
+                    out_specs=P(None, "data"),
+                    check_vma=False,
+                )
+            )
 
         def eval_steps(params, batch_stats, data, ids_block):
             def body(_, ids):
@@ -693,6 +725,41 @@ class Trainer:
             return preds  # [nblocks, B]
 
         return jax.jit(eval_steps)
+
+    def _eval_flat(self, idm: np.ndarray) -> np.ndarray:
+        """Run the eval scan over [nblocks, B] id blocks; returns the flat
+        prediction vector aligned with ``idm.reshape(-1)``. On a DP mesh
+        the blocks are padded to a device multiple (masked -1 blocks,
+        dropped from the result) and sharded over the 'data' axis."""
+        idm = np.asarray(idm, np.int32)
+        nd = (
+            int(self.mesh.shape["data"])
+            if self.mesh is not None and self.config.model_parallel is None
+            else 1
+        )
+        feed = idm
+        if nd > 1:
+            if idm.shape[0] % nd:
+                feed = np.concatenate(
+                    [
+                        idm,
+                        np.full(
+                            (nd - idm.shape[0] % nd, idm.shape[1]),
+                            -1,
+                            np.int32,
+                        ),
+                    ]
+                )
+            feed = feed.reshape(feed.shape[0] // nd, nd, idm.shape[1])
+        flat = np.asarray(
+            self._eval_steps_scan(
+                self.state.params,
+                self.state.batch_stats,
+                self._device_data,
+                feed,
+            )
+        ).reshape(-1)
+        return flat[: idm.size]
 
     def _build_eval_step(self) -> Callable:
         model = self.model
@@ -788,14 +855,7 @@ class Trainer:
             counts = self._graph_counts()
             idm, posm = deal_by_size(ids, counts[ids, SIZE_FIELD], bs)
             check_batches_fit(idm, counts, self.spec)
-            flat = np.asarray(
-                self._eval_steps_scan(
-                    self.state.params,
-                    self.state.batch_stats,
-                    self._device_data,
-                    np.asarray(idm, np.int32),
-                )
-            ).reshape(-1)
+            flat = self._eval_flat(idm)
             valid = (idm >= 0).reshape(-1)
             pred = np.empty(len(ids), np.float32)
             pred[posm.reshape(-1)[valid]] = flat[valid]
@@ -806,14 +866,7 @@ class Trainer:
                     for start in range(0, len(ids), bs)
                 ]
             )
-            flat = np.asarray(
-                self._eval_steps_scan(
-                    self.state.params,
-                    self.state.batch_stats,
-                    self._device_data,
-                    idm,
-                )
-            ).reshape(-1)
+            flat = self._eval_flat(idm)
             pred = flat[(idm >= 0).reshape(-1)]
         true = np.array([self.dataset.graphs[i].y for i in ids], np.float32)
         return true, pred

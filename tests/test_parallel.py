@@ -184,6 +184,22 @@ def test_dp_device_data_fit_epoch_runs_and_evaluates():
     assert np.isfinite(history[0]["loss"])
 
 
+def test_dp_eval_matches_single_device_eval():
+    """r5: evaluation shards its id-block matrix over the DP mesh
+    (each chip scores its own blocks under shard_map) — predictions must
+    equal the single-device eval scan's exactly, including a block count
+    that is not a device multiple (masked all-pad blocks)."""
+    mesh = make_mesh(4)
+    _, _, dp_trainer = _setup(mesh=mesh)
+    _, _, sd_trainer = _setup(mesh=None)
+    # 14 graphs / b4 -> 4 blocks (ragged tail) -> padded to 4-multiple.
+    ids = np.arange(3, 17, dtype=np.int64)
+    dp_true, dp_pred = dp_trainer._predict_ids(ids)
+    sd_true, sd_pred = sd_trainer._predict_ids(ids)
+    np.testing.assert_array_equal(dp_true, sd_true)
+    np.testing.assert_allclose(dp_pred, sd_pred, rtol=2e-5, atol=1e-6)
+
+
 def test_edge_partition_matches_single_device():
     """Edge/bucket-sharded forward over 4 devices == single-device forward.
 
