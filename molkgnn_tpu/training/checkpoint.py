@@ -49,19 +49,26 @@ def _np(t) -> np.ndarray:
 # at model.py:170. graph_embedding_linear is constructed at
 # MolKGNNNet.py:20-25 and never called). num_batches_tracked is torch BN
 # bookkeeping our MaskedBatchNorm does not carry.
-_IGNORED_TORCH_KEYS = ("lin1.", "lin2.", "gnn_model.graph_embedding_linear.")
+_IGNORED_TORCH_KEYS = (
+    "lin1.", "lin2.", "gnn_model.graph_embedding_linear.",
+    # SchNet's Gaussian-basis offset is a constant buffer derived from
+    # (cutoff, num_gaussians) — our emb recomputes it (models/schnet.py).
+    "gnn_model.dist_emb.offset",
+)
 
 
 def from_torch_state_dict(variables: Any, state_dict: Any, prefix: str = ""):
     """Import a trained reference checkpoint into our GNNModel variables.
 
     ``state_dict`` is the reference GNNModel's (the PL LightningModule
-    wrapping the kgnn encoder, /root/reference/model.py:128-149 +
+    wrapping an encoder, /root/reference/model.py:45-149 +
     entry.py:134-162 best-ckpt loading) torch ``state_dict()`` — str keys
     to tensors/arrays. ``variables`` is our template from
     ``GNNModel.init`` ({'params', 'batch_stats'}); the import is
     template-driven, so every target leaf must find its source key (else
-    KeyError) with a matching shape (else ValueError).
+    KeyError) with a matching shape (else ValueError). Supported encoder
+    families (dispatched from the template's structure): kgnn
+    (MolKGNNNet — the reference's core model) and SchNet.
 
     Layout translation:
       * Linear layers: torch stores weight [out, in]; our TorchLinear
@@ -85,6 +92,37 @@ def from_torch_state_dict(variables: Any, state_dict: Any, prefix: str = ""):
     from flax.traverse_util import flatten_dict, unflatten_dict
 
     sd = {str(k): v for k, v in dict(state_dict).items()}
+
+    def _schnet_key(rest):
+        """Source key for a path under our SchNet encoder
+        (models/schnet.py param names vs the reference's
+        /root/reference/models/SchNet/schnet.py:106-150 module tree; the
+        same correspondence the injected-weights parity test uses)."""
+        name = rest[0]
+        if name == "init_v":  # Embedding: weight stored [num, H] both sides
+            return "gnn_model.init_v.weight", False
+        leaf = "weight" if rest[1] == "kernel" else rest[1]
+        transpose = rest[1] == "kernel"
+        if name in ("uu1", "uu2"):
+            return (
+                f"gnn_model.update_u.lin{name[-1]}.{leaf}",
+                transpose,
+            )
+        base, _, layer = name.rpartition("_")
+        if base in ("mlp1", "mlp2"):
+            seq = {"mlp1": 0, "mlp2": 2}[base]
+            return (
+                f"gnn_model.update_es.{layer}.mlp.{seq}.{leaf}",
+                transpose,
+            )
+        if base == "lin":
+            return f"gnn_model.update_es.{layer}.lin.{leaf}", transpose
+        if base in ("uv1", "uv2"):
+            return (
+                f"gnn_model.update_vs.{layer}.lin{base[-1]}.{leaf}",
+                transpose,
+            )
+        raise KeyError(f"unmapped SchNet path: {rest}")
 
     def _enc_key(rest):
         """Source key for a path under our encoder (MolKGNNNet)."""
@@ -111,12 +149,17 @@ def from_torch_state_dict(variables: Any, state_dict: Any, prefix: str = ""):
             )
         raise KeyError(f"unmapped encoder path: {rest}")
 
+    # Family dispatch by template structure: the kgnn encoder owns the
+    # BatchNorms, SchNet owns the init_v embedding.
+    enc_params = variables.get("params", {}).get("encoder", {})
+    enc_map = _schnet_key if "init_v" in enc_params else _enc_key
+
     def _src_key(collection, path):
         if path[0] == "ffn":
             leaf = "weight" if path[1] == "kernel" else path[1]
             return f"ffn.{leaf}", path[1] == "kernel"
         if path[0] == "encoder":
-            return _enc_key(path[1:])
+            return enc_map(path[1:])
         raise KeyError(f"unmapped {collection} path: {path}")
 
     out = {}

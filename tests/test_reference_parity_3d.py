@@ -628,6 +628,105 @@ def test_schnet_forward_matches_reference(ref_schnet):
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
 
 
+def test_schnet_checkpoint_import_round_trip(ref_schnet):
+    """SchNet family through the reference-checkpoint importer: train the
+    reference's own SchNet on torch-CPU (wrapped as model.py wires it:
+    gnn_model + ffn), import the state_dict via from_torch_state_dict
+    (family-dispatched from the template), and require our forward to
+    reproduce its eval logits at fp64 precision."""
+    from torch_geometric.data import Data  # the stub
+
+    from molkgnn_tpu.data.dataset import make_synthetic_dataset
+    from molkgnn_tpu.graphs.geometric import (
+        batch_points,
+        point_spec_for_graphs,
+    )
+    from molkgnn_tpu.models.schnet import SchNet
+    from molkgnn_tpu.training import GNNModel, from_torch_state_dict
+
+    # seed 3 / cutoff 4.0 = the forward-parity test's known-good geometry:
+    # every node needs an in-cutoff neighbor (the reference's scatter —
+    # real torch_scatter too — sizes its output by max index, so a batch
+    # whose LAST node is isolated crashes its own forward) and no node may
+    # exceed the stub's max_num_neighbors.
+    cutoff, layers, H, FLT, G, OUT = 4.0, 2, 16, 12, 25, 8
+    ds = make_synthetic_dataset(seed=3, num_graphs=8)
+    spec = point_spec_for_graphs(ds.graphs, batch_size=4, cutoff=cutoff)
+    batch = batch_points(ds.graphs[:4], spec)
+    node_mask = np.asarray(batch.node_mask)
+    n_real = int(node_mask.sum())
+    assert node_mask[:n_real].all()
+
+    prev_default = torch.get_default_dtype()
+    torch.set_default_dtype(torch.float64)
+    try:
+
+        class RefGNNModel(torch.nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.gnn_model = ref_schnet.SchNet(
+                    cutoff=cutoff, num_layers=layers, hidden_channels=H,
+                    num_filters=FLT, num_gaussians=G, out_channels=OUT,
+                )
+                self.ffn = torch.nn.Linear(OUT, 1)
+
+            def forward(self, data):
+                return self.ffn(self.gnn_model(data))
+
+        wrapper = RefGNNModel().double()
+        data = Data(
+            z=torch.tensor(np.asarray(batch.z)[:n_real], dtype=torch.long),
+            pos=torch.tensor(np.asarray(batch.pos, np.float64)[:n_real]),
+            batch=torch.tensor(
+                np.asarray(batch.node_graph_id)[:n_real], dtype=torch.long
+            ),
+        )
+        y = torch.tensor([0.0, 1.0, 0.0, 1.0], dtype=torch.float64)
+        opt = torch.optim.AdamW(wrapper.parameters(), lr=1e-3)
+        loss_fn = torch.nn.BCEWithLogitsLoss()
+        wrapper.train()
+        losses = []
+        for _ in range(4):
+            opt.zero_grad()
+            loss = loss_fn(wrapper(data)[:, 0], y)
+            loss.backward()
+            opt.step()
+            losses.append(float(loss.detach()))
+        assert losses[-1] < losses[0]
+        wrapper.eval()
+        want = wrapper(data).detach().numpy()[:, 0]
+        sd = wrapper.state_dict()
+    finally:
+        torch.set_default_dtype(prev_default)
+
+    model = GNNModel(
+        encoder=SchNet(
+            cutoff=cutoff, num_layers=layers, hidden_channels=H,
+            num_filters=FLT, num_gaussians=G, out_channels=OUT,
+        ),
+        ffn_dropout_rate=0.0,
+    )
+    template = jax.device_get(model.init(jax.random.key(0), batch))
+    as64 = lambda a: (
+        np.asarray(a, np.float64)
+        if np.issubdtype(np.asarray(a).dtype, np.floating)
+        else np.asarray(a)
+    )
+    imported = from_torch_state_dict(jax.tree.map(as64, template), sd)
+    batch64 = jax.tree.map(as64, batch)
+    jax.config.update("jax_enable_x64", True)
+    try:
+        got, _emb = model.apply(imported, batch64, train=False)
+        got = np.asarray(got)
+    finally:
+        jax.config.update("jax_enable_x64", False)
+    # The two radius-edge enumerations differ at the cutoff boundary
+    # (ours precomputed on the host in fp32, the reference's built in
+    # fp64) — same tolerance rationale as the forward-parity test. An
+    # importer-mapping error would be wrong by O(1), not O(1e-6).
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
 # -------------------------------------- ChIRoNet InternalCoordinateEncoder
 
 
