@@ -68,7 +68,8 @@ def from_torch_state_dict(variables: Any, state_dict: Any, prefix: str = ""):
     template-driven, so every target leaf must find its source key (else
     KeyError) with a matching shape (else ValueError). Supported encoder
     families (dispatched from the template's structure): kgnn
-    (MolKGNNNet — the reference's core model) and SchNet.
+    (MolKGNNNet — the reference's core model), SchNet, DimeNet++, and
+    SphereNet; ChIRoNet checkpoints are not yet mapped.
 
     Layout translation:
       * Linear layers: torch stores weight [out, in]; our TorchLinear
@@ -124,6 +125,90 @@ def from_torch_state_dict(variables: Any, state_dict: Any, prefix: str = ""):
             )
         raise KeyError(f"unmapped SchNet path: {rest}")
 
+    def _skip_sub(name):
+        """before_skip{k}/after_skip{k} -> layers_*_skip.{k} (both
+        DimeNet++ and SphereNet residual stacks)."""
+        for ours, theirs in (
+            ("before_skip", "layers_before_skip"),
+            ("after_skip", "layers_after_skip"),
+        ):
+            if name.startswith(ours):
+                return f"{theirs}.{int(name[len(ours):])}"
+        return None
+
+    def _out_sub(sub):
+        """update_v / output-block sublayer names: lin{k} -> lins.{k},
+        the named linears pass through."""
+        if sub in ("lin_rbf", "lin_up", "lin"):
+            return sub
+        if sub.startswith("lin"):
+            return f"lins.{int(sub[len('lin'):])}"
+        raise KeyError(f"unmapped output sublayer: {sub}")
+
+    def _dimenet_key(rest):
+        """models/dimenetpp.py param names vs the reference's
+        DimeNetPlusPlus module tree (/root/reference/models/ChIRoNet/
+        gnn_3D/dimenet_pp.py:193-260) — the injected-weights parity
+        test's correspondence."""
+        name = rest[0]
+        if name == "rbf_freq":
+            return "gnn_model.rbf.freq", False
+        if name == "emb":
+            return "gnn_model.emb.emb.weight", False
+        transpose = rest[-1] == "kernel"
+        leaf = "weight" if transpose else rest[-1]
+        if name in ("emb_lin_rbf", "emb_lin"):
+            return (
+                f"gnn_model.emb.{name[len('emb_'):]}.{leaf}",
+                transpose,
+            )
+        if name.startswith("output"):
+            b = int(name[len("output"):])
+            return (
+                f"gnn_model.output_blocks.{b}.{_out_sub(rest[1])}.{leaf}",
+                transpose,
+            )
+        if name.startswith("interaction"):
+            b = int(name[len("interaction"):])
+            sk = _skip_sub(rest[1])
+            mid = f"{sk}.{rest[2]}" if sk else rest[1]
+            return (
+                f"gnn_model.interaction_blocks.{b}.{mid}.{leaf}",
+                transpose,
+            )
+        raise KeyError(f"unmapped DimeNet++ path: {rest}")
+
+    def _spherenet_key(rest):
+        """models/spherenet.py param names vs the reference's SphereNet
+        module tree (/root/reference/models/ChIRoNet/gnn_3D/
+        spherenet.py:600-640); update_u is parameterless there."""
+        name = rest[0]
+        if name == "rbf_freq":
+            return "gnn_model.emb.dist_emb.freq", False
+        transpose = rest[-1] == "kernel"
+        leaf = "weight" if transpose else rest[-1]
+        if name == "init_e":
+            if rest[1] == "emb":
+                return "gnn_model.init_e.emb.weight", False
+            return f"gnn_model.init_e.{rest[1]}.{leaf}", transpose
+        if name == "init_v":
+            return (
+                f"gnn_model.init_v.{_out_sub(rest[1])}.{leaf}",
+                transpose,
+            )
+        if name.startswith("update_e"):
+            layer = int(name[len("update_e"):])
+            sk = _skip_sub(rest[1])
+            mid = f"{sk}.{rest[2]}" if sk else rest[1]
+            return f"gnn_model.update_es.{layer}.{mid}.{leaf}", transpose
+        if name.startswith("update_v"):
+            layer = int(name[len("update_v"):])
+            return (
+                f"gnn_model.update_vs.{layer}.{_out_sub(rest[1])}.{leaf}",
+                transpose,
+            )
+        raise KeyError(f"unmapped SphereNet path: {rest}")
+
     def _enc_key(rest):
         """Source key for a path under our encoder (MolKGNNNet)."""
         if rest[0] in ("node_batch_norm", "edge_batch_norm"):
@@ -149,10 +234,24 @@ def from_torch_state_dict(variables: Any, state_dict: Any, prefix: str = ""):
             )
         raise KeyError(f"unmapped encoder path: {rest}")
 
-    # Family dispatch by template structure: the kgnn encoder owns the
-    # BatchNorms, SchNet owns the init_v embedding.
+    # Family dispatch by template structure: kgnn owns the BatchNorms,
+    # DimeNet++ the emb_lin pair, SphereNet the init_e block, SchNet the
+    # flat init_v embedding (SphereNet's init_v is a dict, so init_e is
+    # checked first).
     enc_params = variables.get("params", {}).get("encoder", {})
-    enc_map = _schnet_key if "init_v" in enc_params else _enc_key
+    if "node_batch_norm" in enc_params:
+        enc_map = _enc_key
+    elif "emb_lin" in enc_params:
+        enc_map = _dimenet_key
+    elif "init_e" in enc_params:
+        enc_map = _spherenet_key
+    elif "init_v" in enc_params:
+        enc_map = _schnet_key
+    else:
+        raise KeyError(
+            "from_torch_state_dict: unrecognized encoder family "
+            f"(template keys: {sorted(enc_params)[:6]})"
+        )
 
     def _src_key(collection, path):
         if path[0] == "ffn":

@@ -1333,6 +1333,150 @@ def test_dimenetpp_forward_matches_reference(ref_dimenet):
     np.testing.assert_allclose(got, want, rtol=5e-4, atol=2e-5)
 
 
+def test_dimenetpp_checkpoint_import_round_trip(ref_dimenet):
+    """DimeNet++ family through the reference-checkpoint importer: train
+    the reference's own DimeNetPlusPlus on torch-CPU (wrapped as
+    model.py:73 wires it), import via from_torch_state_dict, match its
+    eval logits (same enumeration-order tolerance as the forward-parity
+    test — a mapping error would be O(1) wrong)."""
+    from molkgnn_tpu.data.dataset import make_synthetic_dataset
+    from molkgnn_tpu.graphs.geometric import (
+        batch_points,
+        point_spec_for_graphs,
+    )
+    from molkgnn_tpu.models.dimenetpp import DimeNetPP
+    from molkgnn_tpu.training import GNNModel, from_torch_state_dict
+
+    cfg = dict(
+        hidden_channels=16, out_channels=4, num_blocks=2, int_emb_size=8,
+        basis_emb_size=4, out_emb_channels=12, num_spherical=3,
+        num_radial=4, cutoff=4.0, envelope_exponent=5, num_before_skip=1,
+        num_after_skip=1, num_output_layers=2,
+    )
+    ds = make_synthetic_dataset(seed=13, num_graphs=8)
+    spec = point_spec_for_graphs(
+        ds.graphs, batch_size=4, cutoff=cfg["cutoff"], with_triplets=True
+    )
+    batch = batch_points(ds.graphs[:4], spec)
+    node_mask = np.asarray(batch.node_mask)
+    n_real = int(node_mask.sum())
+
+    class RefGNNModel(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.gnn_model = ref_dimenet.DimeNetPlusPlus(**cfg)
+            self.ffn = torch.nn.Linear(cfg["out_channels"], 1)
+
+        def forward(self, z, pos, b):
+            return self.ffn(self.gnn_model(z=z, pos=pos, batch=b))
+
+    wrapper = RefGNNModel()
+    z = torch.tensor(np.asarray(batch.z)[:n_real], dtype=torch.long)
+    pos = _t(np.asarray(batch.pos)[:n_real])
+    bvec = torch.tensor(
+        np.asarray(batch.node_graph_id)[:n_real], dtype=torch.long
+    )
+    y = torch.tensor([0.0, 1.0, 0.0, 1.0])
+    opt = torch.optim.AdamW(wrapper.parameters(), lr=1e-3)
+    loss_fn = torch.nn.BCEWithLogitsLoss()
+    wrapper.train()
+    losses = []
+    for _ in range(4):
+        opt.zero_grad()
+        loss = loss_fn(wrapper(z, pos, bvec)[:, 0], y)
+        loss.backward()
+        opt.step()
+        losses.append(float(loss.detach()))
+    assert losses[-1] < losses[0]
+    wrapper.eval()
+    with torch.no_grad():
+        want = wrapper(z, pos, bvec).numpy()[:, 0]
+
+    model = GNNModel(encoder=DimeNetPP(**cfg), ffn_dropout_rate=0.0)
+    template = jax.device_get(model.init(jax.random.key(0), batch))
+    imported = from_torch_state_dict(template, wrapper.state_dict())
+    got, _emb = model.apply(imported, batch, train=False)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=5e-4, atol=2e-5)
+
+
+def test_spherenet_checkpoint_import_round_trip(ref_spherenet, capsys):
+    """SphereNet family through the reference-checkpoint importer (same
+    contract as the DimeNet++/SchNet round trips; the reference's
+    parameterless update_u needs no mapping)."""
+    from molkgnn_tpu.data.dataset import make_synthetic_dataset
+    from molkgnn_tpu.graphs.geometric import (
+        batch_points,
+        point_spec_for_graphs,
+    )
+    from molkgnn_tpu.models.spherenet import SphereNet
+    from molkgnn_tpu.training import GNNModel, from_torch_state_dict
+
+    cfg = dict(
+        cutoff=4.0, num_layers=2, hidden_channels=16, out_channels=4,
+        int_emb_size=8, basis_emb_size_dist=4, basis_emb_size_angle=4,
+        basis_emb_size_torsion=4, out_emb_channels=12, num_spherical=3,
+        num_radial=4, num_before_skip=1, num_after_skip=1,
+        num_output_layers=2,
+    )
+    ds = make_synthetic_dataset(seed=7, num_graphs=8)
+    spec = point_spec_for_graphs(
+        ds.graphs, batch_size=4, cutoff=cfg["cutoff"], with_torsion=True
+    )
+    batch = batch_points(ds.graphs[:4], spec)
+    node_mask = np.asarray(batch.node_mask)
+    n_real = int(node_mask.sum())
+
+    dist, angle, torsion, i, j, idx_kj, idx_ji = _spherenet_geometry(batch)
+    geom = (
+        _t(dist), _t(angle), _t(torsion),
+        torch.tensor(i, dtype=torch.long),
+        torch.tensor(j, dtype=torch.long),
+        torch.tensor(idx_kj, dtype=torch.long),
+        torch.tensor(idx_ji, dtype=torch.long),
+    )
+    ref_spherenet.xyz_to_dat = lambda *a, **kw: geom
+
+    class RefGNNModel(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.gnn_model = ref_spherenet.SphereNet(**cfg)
+            for uv in [self.gnn_model.init_v, *self.gnn_model.update_vs]:
+                uv.act = torch.nn.SiLU()  # reference stores the string
+            self.ffn = torch.nn.Linear(cfg["out_channels"], 1)
+
+        def forward(self, z, pos, b):
+            return self.ffn(self.gnn_model(z=z, pos=pos, batch=b))
+
+    wrapper = RefGNNModel()
+    z = torch.tensor(np.asarray(batch.z)[:n_real], dtype=torch.long)
+    pos = _t(np.asarray(batch.pos)[:n_real])
+    bvec = torch.tensor(
+        np.asarray(batch.node_graph_id)[:n_real], dtype=torch.long
+    )
+    y = torch.tensor([0.0, 1.0, 0.0, 1.0])
+    opt = torch.optim.AdamW(wrapper.parameters(), lr=1e-3)
+    loss_fn = torch.nn.BCEWithLogitsLoss()
+    wrapper.train()
+    losses = []
+    for _ in range(4):
+        opt.zero_grad()
+        loss = loss_fn(wrapper(z, pos, bvec)[:, 0], y)
+        loss.backward()
+        opt.step()
+        losses.append(float(loss.detach()))
+    assert losses[-1] < losses[0]
+    wrapper.eval()
+    with torch.no_grad():
+        want = wrapper(z, pos, bvec).numpy()[:, 0]
+    capsys.readouterr()  # swallow the reference's debug prints
+
+    model = GNNModel(encoder=SphereNet(**cfg), ffn_dropout_rate=0.0)
+    template = jax.device_get(model.init(jax.random.key(0), batch))
+    imported = from_torch_state_dict(template, wrapper.state_dict())
+    got, _emb = model.apply(imported, batch, train=False)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=5e-4, atol=2e-5)
+
+
 # --------------------------------- ChIRo losses / local-structure grouping
 
 
