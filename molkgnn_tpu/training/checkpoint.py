@@ -66,10 +66,10 @@ def from_torch_state_dict(variables: Any, state_dict: Any, prefix: str = ""):
     to tensors/arrays. ``variables`` is our template from
     ``GNNModel.init`` ({'params', 'batch_stats'}); the import is
     template-driven, so every target leaf must find its source key (else
-    KeyError) with a matching shape (else ValueError). Supported encoder
-    families (dispatched from the template's structure): kgnn
-    (MolKGNNNet — the reference's core model), SchNet, DimeNet++, and
-    SphereNet; ChIRoNet checkpoints are not yet mapped.
+    KeyError) with a matching shape (else ValueError). ALL FIVE encoder
+    families import (dispatched from the template's structure): kgnn
+    (MolKGNNNet — the reference's core model), SchNet, DimeNet++,
+    SphereNet, and ChIRoNet.
 
     Layout translation:
       * Linear layers: torch stores weight [out, in]; our TorchLinear
@@ -209,6 +209,60 @@ def from_torch_state_dict(variables: Any, state_dict: Any, prefix: str = ""):
             )
         raise KeyError(f"unmapped SphereNet path: {rest}")
 
+    def _chiro_key(rest):
+        """models/chironet.py param names vs the reference's
+        ChIRoNet -> Encoder module tree (/root/reference/models/ChIRoNet/
+        ChIRoNet.py:21, alpha_encoder.py:261-330): NNConv ('root' is the
+        PyG root weight ``lin``), GATConv, and the five
+        internal-coordinate MLPs."""
+        base = "gnn_model.encoder"
+        name = rest[0]
+
+        def nnconv(mod, sub):
+            if sub[0] == "nn":
+                k = int(sub[1][len("lin"):])
+                transpose = sub[2] == "kernel"
+                leaf = "weight" if transpose else sub[2]
+                return f"{mod}.nn.linear_layers.{k}.{leaf}", transpose
+            if sub[0] == "root":
+                return f"{mod}.lin.weight", True
+            if sub[0] == "bias":
+                return f"{mod}.bias", False
+            raise KeyError(f"unmapped NNConv sublayer: {sub}")
+
+        def gat(mod, sub):
+            if sub[0] == "lin":
+                return f"{mod}.lin.weight", True
+            if sub[0] in ("att_src", "att_dst", "bias"):
+                return f"{mod}.{sub[0]}", False
+            raise KeyError(f"unmapped GAT sublayer: {sub}")
+
+        if name == "EConv":
+            return nnconv(f"{base}.Graph_Embedder.EConv", rest[1:])
+        if name.startswith("ChiralGAT"):
+            g = int(name[len("ChiralGAT"):])
+            return gat(
+                f"{base}.ChiralMessagePassingEncoder.ChiralGATLayers.{g}",
+                rest[1:],
+            )
+        if name == "ChiralEConv":
+            return nnconv(
+                f"{base}.ChiralMessagePassingEncoder.ChiralEConv", rest[1:]
+            )
+        if name.startswith("GAT"):
+            g = int(name[len("GAT"):])
+            return gat(f"{base}.Graph_Embedder.GAT_layers.{g}", rest[1:])
+        if name == "InternalCoordinateEncoder":
+            k = int(rest[2][len("lin"):])
+            transpose = rest[3] == "kernel"
+            leaf = "weight" if transpose else rest[3]
+            return (
+                f"{base}.InternalCoordinateEncoder.{rest[1]}"
+                f".linear_layers.{k}.{leaf}",
+                transpose,
+            )
+        raise KeyError(f"unmapped ChIRoNet path: {rest}")
+
     def _enc_key(rest):
         """Source key for a path under our encoder (MolKGNNNet)."""
         if rest[0] in ("node_batch_norm", "edge_batch_norm"):
@@ -241,6 +295,8 @@ def from_torch_state_dict(variables: Any, state_dict: Any, prefix: str = ""):
     enc_params = variables.get("params", {}).get("encoder", {})
     if "node_batch_norm" in enc_params:
         enc_map = _enc_key
+    elif "EConv" in enc_params:
+        enc_map = _chiro_key
     elif "emb_lin" in enc_params:
         enc_map = _dimenet_key
     elif "init_e" in enc_params:

@@ -1477,6 +1477,140 @@ def test_spherenet_checkpoint_import_round_trip(ref_spherenet, capsys):
     np.testing.assert_allclose(np.asarray(got), want, rtol=5e-4, atol=2e-5)
 
 
+def test_chironet_checkpoint_import_round_trip(ref_alpha, chiro_batch):
+    """ChIRoNet family through the reference-checkpoint importer — the
+    fifth and last family: train the reference's own Encoder on torch-CPU
+    (wrapped as ChIRoNet.py:21 + model.py:45 nest it: gnn_model.encoder),
+    CMP on, import via from_torch_state_dict, match its eval logits on
+    the pooled molecule embedding."""
+    from molkgnn_tpu.models.chironet import ChIRoNet
+    from molkgnn_tpu.training import GNNModel, from_torch_state_dict
+
+    batch = chiro_batch
+    f_in = int(np.asarray(batch.x).shape[-1])
+    f_e = int(np.asarray(batch.edge_attr).shape[-1])
+    F_HH, F_ECONV = 10, 12
+
+    act = {
+        "EConv_mlp_hidden_activation": torch.nn.LeakyReLU(0.01),
+        "EConv_mlp_output_activation": torch.nn.Identity(),
+    }
+    for enc in ("D", "phi", "c", "sinusoidal_shift", "alpha"):
+        act[f"encoder_hidden_activation_{enc}"] = torch.nn.LeakyReLU(0.01)
+        act[f"encoder_output_activation_{enc}"] = torch.nn.Identity()
+    layers = {
+        "EConv_mlp_hidden_sizes": [8],
+        "GAT_hidden_node_sizes": [12],
+        "encoder_hidden_sizes_D": list(HID["d"]),
+        "encoder_hidden_sizes_phi": list(HID["phi"]),
+        "encoder_hidden_sizes_c": list(HID["c"]),
+        "encoder_hidden_sizes_sinusoidal_shift": list(HID["shift"]),
+        "encoder_hidden_sizes_alpha": list(HID["alpha"]),
+        "output_mlp_hidden_sizes": [],
+    }
+
+    class _ChiroWrap(torch.nn.Module):
+        """Reference ChIRoNet.py:15-43: holds the Encoder as
+        ``self.encoder`` (the state_dict nesting the importer maps)."""
+
+        def __init__(self):
+            super().__init__()
+            self.encoder = ref_alpha.Encoder(
+                F_z_list=list(F_Z), F_H=F_HH, F_H_embed=f_in,
+                F_E_embed=f_e, F_H_EConv=F_ECONV, layers_dict=layers,
+                activation_dict=act, GAT_N_heads=2,
+                chiral_message_passing=True,
+                CMP_EConv_MLP_hidden_sizes=[8], CMP_GAT_N_layers=2,
+                CMP_GAT_N_heads=1, c_coefficient_normalization="sigmoid",
+                encoder_reduction="sum", output_concatenation_mode="none",
+                EConv_bias=True, GAT_bias=True, encoder_biases=True,
+                dropout=0.0,
+            )
+
+    class RefGNNModel(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.gnn_model = _ChiroWrap()
+            self.ffn = torch.nn.Linear(F_HH, 1)
+
+        def forward(self, data, ls, alpha_idx):
+            out = self.gnn_model.encoder(
+                data, LS_map=ls, alpha_indices=alpha_idx
+            )
+            return self.ffn(out[3])  # pooled molecule embedding
+
+    node_mask = np.asarray(batch.node_mask)
+    n_real = int(node_mask.sum())
+    (esrc, edst, eattr) = _strip(
+        batch.edge_mask, batch.edge_src, batch.edge_dst, batch.edge_attr
+    )
+    (di, dj, dists) = _strip(
+        batch.dist_mask, batch.dist_i, batch.dist_j, batch.distances
+    )
+    (ai, aj, ak, angs) = _strip(
+        batch.ang_mask, batch.ang_i, batch.ang_j, batch.ang_k, batch.angles
+    )
+    (si, sj, sk, sl, dihs, ls) = _strip(
+        batch.dih_mask, batch.dih_i, batch.dih_j, batch.dih_k, batch.dih_l,
+        batch.dihedrals, batch.ls_map,
+    )
+    (ax, ay) = _strip(batch.alpha_mask, batch.alpha_x, batch.alpha_y)
+    long = lambda a: torch.tensor(np.asarray(a), dtype=torch.long)
+
+    class _Data:
+        pass
+
+    data = _Data()
+    data.x = _t(np.asarray(batch.x)[:n_real])
+    data.edge_index = torch.stack([long(esrc), long(edst)])
+    data.edge_attr = _t(eattr)
+    data.bond_distances = _t(dists)
+    data.bond_distance_index = torch.stack([long(di), long(dj)])
+    data.bond_angles = _t(angs)
+    data.bond_angle_index = torch.stack([long(ai), long(aj), long(ak)])
+    data.dihedral_angles = _t(dihs)
+    data.dihedral_angle_index = torch.stack(
+        [long(si), long(sj), long(sk), long(sl)]
+    )
+    data.batch = long(np.asarray(batch.node_graph_id)[:n_real])
+    ls_t = long(ls)
+    alpha_t = torch.stack([long(ax), long(ay)])
+
+    wrapper = RefGNNModel()
+    y = torch.tensor([0.0, 1.0, 0.0, 1.0])
+    opt = torch.optim.AdamW(wrapper.parameters(), lr=1e-3)
+    loss_fn = torch.nn.BCEWithLogitsLoss()
+    wrapper.train()
+    losses = []
+    for _ in range(4):
+        opt.zero_grad()
+        loss = loss_fn(wrapper(data, ls_t, alpha_t)[:, 0], y)
+        loss.backward()
+        opt.step()
+        losses.append(float(loss.detach()))
+    assert losses[-1] < losses[0]
+    wrapper.eval()
+    with torch.no_grad():
+        want = wrapper(data, ls_t, alpha_t).numpy()[:, 0]
+
+    model = GNNModel(
+        encoder=ChIRoNet(
+            f_z=F_Z, f_h=F_HH, f_h_econv=F_ECONV, econv_mlp_hidden=(8,),
+            gat_hidden=(12,), gat_heads=2, hidden_d=HID["d"],
+            hidden_phi=HID["phi"], hidden_c=HID["c"],
+            hidden_shift=HID["shift"], hidden_alpha=HID["alpha"],
+            c_normalization="sigmoid", reduction="sum",
+            chiral_message_passing=True, cmp_econv_hidden=(8,),
+            cmp_gat_layers=2, cmp_gat_heads=1, output_mode="molecule",
+        ),
+        ffn_dropout_rate=0.0,
+    )
+    template = jax.device_get(model.init(jax.random.key(0), batch))
+    imported = from_torch_state_dict(template, wrapper.state_dict())
+    got, _emb = model.apply(imported, batch, train=False)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-4, atol=2e-5)
+
+
 # --------------------------------- ChIRo losses / local-structure grouping
 
 
