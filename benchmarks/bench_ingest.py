@@ -131,6 +131,44 @@ print(json.dumps({
 }))
 """
 
+_CLI_SHIM = """
+import json, resource, subprocess, sys
+r = subprocess.run(sys.argv[1:], capture_output=True, text=True)
+ru = resource.getrusage(resource.RUSAGE_CHILDREN)
+print(json.dumps({
+    "returncode": r.returncode,
+    "peak_rss_mb": round(ru.ru_maxrss / 1024, 1),
+    "stderr_tail": r.stderr[-1500:],
+}))
+"""
+
+
+def _run_cli_drill(cmd, env, timeout):
+    """Run the CLI drill through a fresh shim process whose
+    RUSAGE_CHILDREN covers ONLY this command — ru_maxrss is a high-water
+    mark over all reaped children, so reading it in the bench process
+    would attribute the (larger) build phase's RSS to the drill."""
+    t0 = time.time()
+    r = subprocess.run(
+        [sys.executable, "-c", _CLI_SHIM, *cmd],
+        env=env, capture_output=True, text=True, timeout=timeout,
+    )
+    wall = time.time() - t0
+    try:
+        payload = json.loads(r.stdout.strip().splitlines()[-1])
+    except Exception:
+        payload = {"returncode": r.returncode or 1,
+                   "stderr_tail": (r.stdout + r.stderr)[-1500:]}
+    out = {
+        "returncode": payload.get("returncode", 1),
+        "wall_s": round(wall, 1),
+        "peak_child_rss_mb": payload.get("peak_rss_mb"),
+    }
+    if out["returncode"] != 0:
+        out["stderr_tail"] = payload.get("stderr_tail", "")[-1500:]
+    return out
+
+
 _PHASE_WARM = """
 import json, os, resource, sys, time
 root, aid = sys.argv[1], sys.argv[2]
@@ -197,8 +235,7 @@ def scale_drill(aid="485290"):
         )
 
     run_dir = f"/tmp/ingest_scale/{aid}/run"
-    t0 = time.time()
-    r = subprocess.run(
+    out["cli_drill"] = _run_cli_drill(
         [
             sys.executable, "-m", "molkgnn_tpu.cli.entry",
             "--dataset_name", aid,
@@ -210,19 +247,11 @@ def scale_drill(aid="485290"):
             "--enable_oversampling_with_replacement", "--device_sampling",
             "--scan_steps", "16",
         ],
-        env=env, capture_output=True, text=True, timeout=5400,
+        env=env, timeout=5400,
     )
-    child = resource.getrusage(resource.RUSAGE_CHILDREN)
-    out["cli_drill"] = {
-        "returncode": r.returncode,
-        "wall_s": round(time.time() - t0, 1),
-        "peak_child_rss_mb": round(child.ru_maxrss / 1024, 1),
-        "test_result_exists": os.path.exists(
-            os.path.join(run_dir, "logs", "test_result.log")
-        ),
-    }
-    if r.returncode != 0:
-        out["cli_drill"]["stderr_tail"] = r.stderr[-1500:]
+    out["cli_drill"]["test_result_exists"] = os.path.exists(
+        os.path.join(run_dir, "logs", "test_result.log")
+    )
 
     path = os.path.join(HERE, "INGEST.json")
     merged = {}
@@ -330,8 +359,7 @@ def main():
         XLA_FLAGS=os.environ.get("XLA_FLAGS", ""),
     )
     run_dir = "/tmp/ingest_bench/run"
-    t0 = time.time()
-    r = subprocess.run(
+    out["cli_drill"] = _run_cli_drill(
         [
             sys.executable, "-m", "molkgnn_tpu.cli.entry",
             "--dataset_name", "1798",
@@ -343,23 +371,11 @@ def main():
             "--enable_oversampling_with_replacement", "--device_sampling",
             "--scan_steps", "16",
         ],
-        env=env,
-        capture_output=True,
-        text=True,
-        timeout=3000,
+        env=env, timeout=3000,
     )
-    drill_s = time.time() - t0
-    child = resource.getrusage(resource.RUSAGE_CHILDREN)
-    out["cli_drill"] = {
-        "returncode": r.returncode,
-        "wall_s": round(drill_s, 1),
-        "peak_child_rss_mb": round(child.ru_maxrss / 1024, 1),
-        "test_result_exists": os.path.exists(
-            os.path.join(run_dir, "logs", "test_result.log")
-        ),
-    }
-    if r.returncode != 0:
-        out["cli_drill"]["stderr_tail"] = r.stderr[-1500:]
+    out["cli_drill"]["test_result_exists"] = os.path.exists(
+        os.path.join(run_dir, "logs", "test_result.log")
+    )
 
     out["peak_rss_mb_final"] = round(_rss_mb(), 1)
     path = os.path.join(HERE, "INGEST.json")

@@ -291,9 +291,11 @@ def load_dataset(args):
 def main(argv=None):
     t_start = time.time()
     argv = argv if argv is not None else sys.argv[1:]
-    gnn_type = "kgnn"
-    if "--gnn_type" in argv:
-        gnn_type = argv[argv.index("--gnn_type") + 1]
+    # Peek at --gnn_type with argparse (accepts both '--gnn_type X' and
+    # '--gnn_type=X') to pick the per-family flag group.
+    pre = argparse.ArgumentParser(add_help=False)
+    pre.add_argument("--gnn_type", default="kgnn")
+    gnn_type = pre.parse_known_args(argv)[0].gnn_type
     args = build_parser(gnn_type).parse_args(argv)
     # --device_sampling is supported for every gnn_type since r4: kgnn
     # (graphs/device_pack, incl. all model_parallel modes), the 3D

@@ -51,9 +51,12 @@ def build_base_parser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> int:
     argv = argv if argv is not None else sys.argv[1:]
-    gnn_type = "kgnn"
-    if "--gnn_type" in argv:
-        gnn_type = argv[argv.index("--gnn_type") + 1]
+    # Peek at --gnn_type with argparse (accepts both '--gnn_type X' and
+    # '--gnn_type=X') to pick the per-family flag group; the flag itself
+    # stays in model_argv for build_parser to consume.
+    pre = argparse.ArgumentParser(add_help=False)
+    pre.add_argument("--gnn_type", default="kgnn")
+    gnn_type = pre.parse_known_args(argv)[0].gnn_type
     base = build_base_parser()
     args, model_argv = base.parse_known_args(argv)
     t0 = time.time()

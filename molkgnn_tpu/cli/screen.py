@@ -49,19 +49,20 @@ def main(argv=None) -> int:
     )
     t0 = time.time()
 
-    from molkgnn_tpu.chem.features import mol_to_graph
     from molkgnn_tpu.chem.sdf import parse_sdf
-    from molkgnn_tpu.graphs.batch import batch_graphs
-    from molkgnn_tpu.serving.predictor import Predictor
+    from molkgnn_tpu.serving.predictor import Predictor, host_pipeline_for_spec
 
     forward, spec = Predictor.load_exported(args.exported)
+    # The artifact's spec names its batch family (kgnn / point-cloud /
+    # chironet) — featurize and pack accordingly.
+    to_graph, collate = host_pipeline_for_spec(spec)
 
     graphs, rows = [], []  # rows[i] = record index of graphs[i]
     n_records = 0
     for mol, _data in parse_sdf(args.sdf):
         idx = n_records
         n_records += 1
-        g = None if mol is None else mol_to_graph(mol, y=0.0, idx=idx)
+        g = None if mol is None else to_graph(mol, y=0.0, idx=idx)
         if g is None:
             continue
         rows.append(idx)
@@ -72,7 +73,7 @@ def main(argv=None) -> int:
     dev_preds, masks = [], []
     for start in range(0, len(graphs), b):
         chunk = graphs[start : start + b]
-        batch = batch_graphs(chunk, spec)  # raises on capacity overflow
+        batch = collate(chunk, spec)  # raises on capacity overflow
         pred, _emb = forward(batch)
         dev_preds.append(pred)
         masks.append(np.asarray(batch.graph_mask))

@@ -41,8 +41,8 @@ def nested_sample_scan(body, state, k: int, chunk: int):
     """Scan a ``body(st, _) -> (st, (loss, edges))`` K times, nested as
     (K//chunk x chunk) when ``chunk`` divides K (TrainConfig.scan_chunk:
     identical step sequence, program loop body bounded by the chunk).
-    Returns ``(state, losses[K], edges[K])``. Shared by the DP, halo, and
-    hybrid device-sampled step builders."""
+    Returns ``(state, losses[K], edges[K])``. Shared by the single-device,
+    DP, halo, and hybrid device-sampled step builders."""
     if chunk and k > chunk and k % chunk == 0:
         def outer(st, _):
             return jax.lax.scan(body, st, None, length=chunk)
@@ -53,6 +53,24 @@ def nested_sample_scan(body, state, k: int, chunk: int):
         return new_state, losses.reshape(k), edges.reshape(k)
     new_state, (losses, edges) = jax.lax.scan(body, state, None, length=k)
     return new_state, losses, edges
+
+
+def nested_ids_scan(body, state, ids_block, chunk: int):
+    """Scan ``body(st, ids) -> (st, loss)`` over ``ids_block``'s leading
+    axis (length K), nested as (K//chunk x chunk) when ``chunk`` divides K
+    — the xs-carrying twin of ``nested_sample_scan``, shared by the
+    host-id single-device and DP step builders. Returns
+    ``(state, losses[K])``."""
+    k = ids_block.shape[0]
+    if chunk and k > chunk and k % chunk == 0:
+        blocks = ids_block.reshape(k // chunk, chunk, *ids_block.shape[1:])
+
+        def outer(st, blk):
+            return jax.lax.scan(body, st, blk)
+
+        st, losses = jax.lax.scan(outer, state, blocks)
+        return st, losses.reshape(k)
+    return jax.lax.scan(body, state, ids_block)
 
 
 def shard_scan_steps(
@@ -90,18 +108,7 @@ def shard_scan_steps(
             new_st, loss = step_fn(st, gather(data, ids[0], spec), axis_name=axis)
             return new_st, jax.lax.pmean(loss, axis)
 
-        k = ids_block.shape[0]
-        if chunk and k > chunk and k % chunk == 0:
-            blocks = ids_block.reshape(
-                k // chunk, chunk, *ids_block.shape[1:]
-            )
-
-            def outer(st, blk):
-                return jax.lax.scan(body, st, blk)
-
-            st, losses = jax.lax.scan(outer, state, blocks)
-            return st, losses.reshape(k)
-        return jax.lax.scan(body, state, ids_block)
+        return nested_ids_scan(body, state, ids_block, chunk)
 
     sharded = shard_map(
         per_device,

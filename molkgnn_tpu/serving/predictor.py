@@ -24,6 +24,29 @@ from molkgnn_tpu.graphs.batch import BatchSpec, batch_graphs
 from molkgnn_tpu.graphs.molgraph import MolGraph
 
 
+def host_pipeline_for_spec(spec):
+    """(mol->graph featurizer, collate) for a spec's batch family.
+
+    Lets artifact-only consumers (``molkgnn-screen``) featurize and pack
+    molecules for ANY of the five model families from nothing but the
+    BatchSpec carried inside the export — the three point-cloud families
+    (schnet/dimenet_pp/spherenet) share one PointBatchSpec pipeline, so
+    spec-type dispatch is complete."""
+    from molkgnn_tpu.chem.features import mol_to_graph
+    from molkgnn_tpu.graphs.chiro import (
+        ChiroBatchSpec,
+        batch_chiro,
+        mol_to_chiro_graph,
+    )
+    from molkgnn_tpu.graphs.geometric import PointBatchSpec, batch_points
+
+    if isinstance(spec, PointBatchSpec):
+        return mol_to_graph, batch_points
+    if isinstance(spec, ChiroBatchSpec):
+        return mol_to_chiro_graph, batch_chiro
+    return mol_to_graph, batch_graphs
+
+
 class Predictor:
     """Wraps a trained GNNModel + params for fixed-shape batched inference."""
 
@@ -38,7 +61,7 @@ class Predictor:
         self.model = model
         self.variables = {"params": params, "batch_stats": batch_stats}
         self.spec = spec
-        self.collate = collate or batch_graphs
+        self.collate = collate or host_pipeline_for_spec(spec)[1]
 
         def forward(variables, batch):
             pred, emb = model.apply(variables, batch, train=False)
@@ -325,9 +348,11 @@ class Predictor:
                         " (spec_for_graphs / point_spec_for_graphs)"
                     )
             data = build(chunk)
+            # The DP program expects [K, ndev, B] whenever it was built
+            # (any device count, including a 1-device mesh).
             feed = (
                 idm.reshape(idm.shape[0] // ndev, ndev, b)
-                if ndev > 1
+                if mesh is not None
                 else idm
             )
             preds = np.asarray(
@@ -405,8 +430,12 @@ class Predictor:
         return call, payload["spec"]
 
     def _zero_batch(self):
-        # Minimal two-atom molecule: enough to materialize every batch
-        # field at the spec's static shapes.
+        # Template batch for export tracing — only shapes/dtypes are read
+        # (export() traces through ShapeDtypeStructs). The point/chiro
+        # packers accept an empty molecule list; the kgnn packer needs one
+        # minimal two-atom molecule to materialize every field.
+        if not isinstance(self.spec, BatchSpec):
+            return self.collate([], self.spec)
         g = MolGraph(
             x=np.zeros((2, self.spec.node_dim), np.float32),
             p=np.zeros((2, self.spec.pos_dim), np.float32),

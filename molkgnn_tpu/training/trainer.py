@@ -511,6 +511,8 @@ class Trainer:
         [K, B] block of sampled graph ids. One program launch amortizes the
         per-dispatch latency across K steps; per-step semantics (dropout
         fold-in by step counter, AdamW, schedule) are unchanged."""
+        from molkgnn_tpu.parallel.data_parallel import nested_ids_scan
+
         gather_batch = self._gather_fn
         spec, step_fn = self.spec, self._train_step_fn
         chunk = self.config.scan_chunk
@@ -519,18 +521,7 @@ class Trainer:
             def body(st, ids):
                 return step_fn(st, gather_batch(data, ids, spec))
 
-            k = ids_block.shape[0]
-            if chunk and k > chunk and k % chunk == 0:
-                blocks = ids_block.reshape(
-                    k // chunk, chunk, *ids_block.shape[1:]
-                )
-
-                def outer(st, blk):
-                    return jax.lax.scan(body, st, blk)
-
-                st, losses = jax.lax.scan(outer, state, blocks)
-                return st, losses.reshape(k)
-            return jax.lax.scan(body, state, ids_block)
+            return nested_ids_scan(body, state, ids_block, chunk)
 
         return jax.jit(train_steps, donate_argnums=(0,))
 
@@ -585,6 +576,7 @@ class Trainer:
         if prog is not None:
             return prog
         from molkgnn_tpu.graphs.device_pack import sample_ids
+        from molkgnn_tpu.parallel.data_parallel import nested_sample_scan
 
         gather_batch = self._gather_fn
         spec, step_fn = self.spec, self._train_step_fn
@@ -634,21 +626,9 @@ class Trainer:
                 new_st, loss = step_fn(st, gather_batch(data, ids, spec))
                 return new_st, (loss, data.edge_count[ids].sum())
 
-            if chunk and k > chunk and k % chunk == 0:
-                # Nested form: same step sequence (the per-step RNG folds
-                # in st.step, which advances identically), program size
-                # bounded by the chunk (config.scan_chunk rationale).
-                def outer(st, _):
-                    return jax.lax.scan(body, st, None, length=chunk)
-
-                new_state, (losses, edges) = jax.lax.scan(
-                    outer, state, None, length=k // chunk
-                )
-                return new_state, losses.reshape(k), edges.reshape(k)
-            new_state, (losses, edges) = jax.lax.scan(
-                body, state, None, length=k
-            )
-            return new_state, losses, edges
+            # Same step sequence whether nested or flat: the per-step RNG
+            # folds in st.step, which advances identically.
+            return nested_sample_scan(body, state, k, chunk)
 
         prog = jax.jit(train_steps, donate_argnums=(0,))
         self._sample_programs[k] = prog
@@ -732,13 +712,12 @@ class Trainer:
         the blocks are padded to a device multiple (masked -1 blocks,
         dropped from the result) and sharded over the 'data' axis."""
         idm = np.asarray(idm, np.int32)
-        nd = (
-            int(self.mesh.shape["data"])
-            if self.mesh is not None and self.config.model_parallel is None
-            else 1
-        )
+        # The DP shard_map eval program expects [K, ndev, B] whenever it
+        # was built (any device count, including ndev=1).
+        dp = self.mesh is not None and self.config.model_parallel is None
+        nd = int(self.mesh.shape["data"]) if dp else 1
         feed = idm
-        if nd > 1:
+        if dp:
             if idm.shape[0] % nd:
                 feed = np.concatenate(
                     [

@@ -198,6 +198,13 @@ def test_dp_eval_matches_single_device_eval():
     sd_true, sd_pred = sd_trainer._predict_ids(ids)
     np.testing.assert_array_equal(dp_true, sd_true)
     np.testing.assert_allclose(dp_pred, sd_pred, rtol=2e-5, atol=1e-6)
+    # Regression (r5): the DP eval program's [K, ndev, B] feed contract
+    # must hold at ANY device count — a 1-device mesh used to crash
+    # because _eval_flat's reshape was gated on nd > 1.
+    _, _, dp1_trainer = _setup(mesh=make_mesh(1))
+    dp1_true, dp1_pred = dp1_trainer._predict_ids(ids)
+    np.testing.assert_array_equal(dp1_true, sd_true)
+    np.testing.assert_allclose(dp1_pred, sd_pred, rtol=2e-5, atol=1e-6)
 
 
 def test_edge_partition_matches_single_device():

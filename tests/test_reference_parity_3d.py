@@ -628,12 +628,16 @@ def test_schnet_forward_matches_reference(ref_schnet):
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
 
 
-def test_schnet_checkpoint_import_round_trip(ref_schnet):
+def test_schnet_checkpoint_import_round_trip(ref_schnet, tmp_path):
     """SchNet family through the reference-checkpoint importer: train the
     reference's own SchNet on torch-CPU (wrapped as model.py wires it:
     gnn_model + ffn), import the state_dict via from_torch_state_dict
     (family-dispatched from the template), and require our forward to
-    reproduce its eval logits at fp64 precision."""
+    reproduce its eval logits at fp64 precision. Then the non-kgnn CLI
+    chain (r5 regressions: the argv peek missed '--gnn_type=X', and the
+    export template crashed on PointBatchSpec): torch.save ->
+    molkgnn-import --gnn_type=schnet -> molkgnn-screen, scores matching
+    the in-process fp32 import."""
     from torch_geometric.data import Data  # the stub
 
     from molkgnn_tpu.data.dataset import make_synthetic_dataset
@@ -725,6 +729,71 @@ def test_schnet_checkpoint_import_round_trip(ref_schnet):
     # fp64) — same tolerance rationale as the forward-parity test. An
     # importer-mapping error would be wrong by O(1), not O(1e-6).
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+    # ---- CLI chain: import (equals-form flag) -> export -> screen.
+    import os
+    import subprocess
+
+    from molkgnn_tpu.chem.embed import embed_molecule
+    from molkgnn_tpu.chem.features import mol_to_graph
+    from molkgnn_tpu.chem.sdf import write_sdf
+    from molkgnn_tpu.chem.smiles import parse_smiles
+    from molkgnn_tpu.graphs.geometric import point_spec_for_graphs
+    from molkgnn_tpu.serving.predictor import Predictor
+
+    def mk(smi, i):
+        m = parse_smiles(smi, add_hs=True)
+        pos = embed_molecule(m, seed=i, iterations=40)
+        for k, a in enumerate(m.atoms):
+            a.x, a.y, a.z = map(float, pos[k])
+        return m
+
+    mols = [mk(s, i) for i, s in enumerate(["CCO", "CCN", "CCC"])]
+    sdf = tmp_path / "lib.sdf"
+    write_sdf(str(sdf), mols)
+    ckpt = tmp_path / "schnet_sd.pt"
+    torch.save({"state_dict": sd}, str(ckpt))
+    art = tmp_path / "schnet.mkx"
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    r = subprocess.run(
+        [sys.executable, "-m", "molkgnn_tpu.cli.import_ckpt",
+         "--torch_ckpt", str(ckpt), "--sdf", str(sdf), "--out", str(art),
+         "--gnn_type=schnet", "--batch_size", "4",
+         "--num_layers", str(layers), "--hidden_channels", str(H),
+         "--num_filters", str(FLT), "--num_gaussians", str(G),
+         "--cutoff", str(cutoff), "--out_channels", str(OUT)],
+        capture_output=True, text=True, timeout=300, env=env,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    out_csv = tmp_path / "scores.csv"
+    r = subprocess.run(
+        [sys.executable, "-m", "molkgnn_tpu.cli.screen",
+         "--exported", str(art), "--sdf", str(sdf), "--out", str(out_csv)],
+        capture_output=True, text=True, timeout=300, env=env,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    got_cli = np.array(
+        [float(ln.split(",")[1])
+         for ln in out_csv.read_text().strip().splitlines()[1:]]
+    )
+    sgraphs = [mol_to_graph(m, y=0.0, idx=i) for i, m in enumerate(mols)]
+    sspec = point_spec_for_graphs(sgraphs, batch_size=4, cutoff=cutoff)
+    f32 = lambda a: (
+        np.asarray(a, np.float32)
+        if np.issubdtype(np.asarray(a).dtype, np.floating)
+        else np.asarray(a)
+    )
+    pred = Predictor(
+        model,
+        jax.tree.map(f32, imported["params"]),
+        jax.tree.map(f32, imported.get("batch_stats", {})),
+        sspec,
+    )
+    want_cli = pred.predict_graphs(sgraphs)
+    assert got_cli.shape == want_cli.shape == (3,)
+    np.testing.assert_allclose(got_cli, want_cli, rtol=1e-4, atol=1e-5)
 
 
 # -------------------------------------- ChIRoNet InternalCoordinateEncoder

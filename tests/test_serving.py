@@ -159,6 +159,11 @@ def test_screen_library_mesh_matches_single_device():
     assert got.shape == want.shape == (50,)
     np.testing.assert_allclose(got, want, rtol=2e-5, atol=1e-6)
     assert pred._screen_prog_dp is not None
+    # Regression (r5): the DP program's [K, ndev, B] feed contract must
+    # hold at ANY device count — a 1-device mesh used to crash because
+    # the feed reshape was gated on ndev > 1.
+    got1 = pred.screen_library(ds.graphs, mesh=make_mesh(1))
+    np.testing.assert_allclose(got1, want, rtol=2e-5, atol=1e-6)
 
 
 def test_screen_library_raises_on_overflowing_batch():
@@ -243,3 +248,96 @@ def test_molkgnn_screen_cli_scores_sdf(tmp_path):
     assert vals[3] == ""  # corrupt record -> NaN (empty cell)
     nums = [float(v) for v in vals[:3]]
     assert all(0.0 <= v <= 1.0 for v in nums), nums
+
+
+def test_export_and_screen_cli_non_kgnn_families(tmp_path):
+    """r5 regression: serving must work for the non-kgnn batch families
+    (the importer CLI advertises all five). Three things used to break:
+    export's template batch read kgnn-only spec fields (PointBatchSpec has
+    no node_dim — now the point/chiro template collates an empty molecule
+    list), the Predictor's default collate was kgnn's, and
+    `molkgnn-screen` hardcoded the kgnn featurize+pack (now dispatched on
+    the spec type carried in the artifact)."""
+    import subprocess
+    import sys
+
+    import jax
+
+    from molkgnn_tpu.chem.embed import embed_molecule
+    from molkgnn_tpu.chem.features import mol_to_graph
+    from molkgnn_tpu.chem.sdf import write_sdf
+    from molkgnn_tpu.chem.smiles import parse_smiles
+    from molkgnn_tpu.graphs.chiro import (
+        chiro_spec_for_graphs,
+        mol_to_chiro_graph,
+    )
+    from molkgnn_tpu.graphs.geometric import point_spec_for_graphs
+    from molkgnn_tpu.models.chironet import ChIRoNet
+    from molkgnn_tpu.models.schnet import SchNet
+
+    def mk(smi, i):
+        m = parse_smiles(smi, add_hs=True)
+        pos = embed_molecule(m, seed=i, iterations=40)
+        for k, a in enumerate(m.atoms):
+            a.x, a.y, a.z = map(float, pos[k])
+        return m
+
+    mols = [mk(s, i) for i, s in enumerate(["CCO", "CCN", "CCCC"])]
+    sdf = tmp_path / "lib.sdf"
+    write_sdf(str(sdf), mols)
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+
+    cases = []
+    pgraphs = [mol_to_graph(m, y=0.0, idx=i) for i, m in enumerate(mols)]
+    cases.append((
+        "schnet",
+        SchNet(num_layers=1, hidden_channels=8, num_filters=8,
+               num_gaussians=8, out_channels=8),
+        pgraphs,
+        point_spec_for_graphs(pgraphs, batch_size=4, cutoff=10.0),
+    ))
+    cgraphs = [mol_to_chiro_graph(m, y=0.0, idx=i) for i, m in enumerate(mols)]
+    assert all(g is not None for g in cgraphs)
+    cases.append((
+        "chironet",
+        ChIRoNet(f_h=8, f_h_econv=8, econv_mlp_hidden=(8,),
+                 gat_hidden=(8,), gat_heads=1, hidden_d=(8,),
+                 hidden_phi=(8,), hidden_c=(8,), hidden_shift=(8,),
+                 hidden_alpha=(8,), f_z=(4, 4, 4)),
+        cgraphs,
+        chiro_spec_for_graphs(cgraphs, batch_size=4),
+    ))
+
+    from molkgnn_tpu.serving.predictor import host_pipeline_for_spec
+
+    for name, encoder, graphs, spec in cases:
+        model = GNNModel(encoder=encoder, ffn_dropout_rate=0.0)
+        collate = host_pipeline_for_spec(spec)[1]
+        batch0 = collate(graphs, spec)
+        variables = jax.jit(lambda r, b, m=model: m.init(r, b, train=False))(
+            jax.random.key(0), batch0
+        )
+        # Default collate dispatches on the spec type (no collate= arg).
+        pred = Predictor(
+            model, variables["params"], variables.get("batch_stats", {}), spec
+        )
+        want = pred.predict_graphs(graphs)
+        art = tmp_path / f"{name}.mkx"
+        pred.export(str(art))
+        out = tmp_path / f"{name}_scores.csv"
+        r = subprocess.run(
+            [sys.executable, "-m", "molkgnn_tpu.cli.screen",
+             "--exported", str(art), "--sdf", str(sdf), "--out", str(out)],
+            capture_output=True, text=True, timeout=300, env=env,
+        )
+        assert r.returncode == 0, (name, r.stderr[-2000:])
+        lines = out.read_text().strip().splitlines()
+        assert lines[0] == "record_index,score"
+        got = np.array([float(ln.split(",")[1]) for ln in lines[1:]])
+        assert got.shape == (3,), name
+        # Exported StableHLO vs in-process jit: two fp32 compilations of
+        # the same math, so fp-association differences up to ~1e-4 rel.
+        np.testing.assert_allclose(got, want, rtol=2e-4, atol=1e-5,
+                                   err_msg=name)
