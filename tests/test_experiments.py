@@ -258,6 +258,42 @@ def test_d4dchp_dataset(tmp_path):
     assert ds.graphs[0].y in (0.0, 1.0)
 
 
+def test_cli_trains_on_d4dchp(tmp_path):
+    """End-to-end CLI chain for the D4DCHP family (entry.py:272-287 —
+    the reference's CSV+npy-split chirality datasets, wrapper.py:246-348):
+    build the expected directory layout for CHIRAL1 and train one epoch
+    through `molkgnn`."""
+    import csv
+
+    base = tmp_path / "dataset" / "d4_docking"
+    (base / "rs").mkdir(parents=True)
+    smis = ["CCO", "CCC", "CCN", "CCCC", "CCOC", "CCS", "CNC", "COC",
+            "CC(C)C", "CCCO", "CCCl", "CC(N)=O"]
+    with open(base / "d4_docking_rs.csv", "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["smiles", "labels"])
+        for i, s in enumerate(smis):
+            w.writerow([s, i % 2])
+    split = np.array(
+        [np.arange(8), np.array([8, 9]), np.array([10, 11])], dtype=object
+    )
+    np.save(base / "rs" / "split0.npy", split, allow_pickle=True)
+
+    run_dir = tmp_path / "run"
+    r = subprocess.run(
+        [sys.executable, "-m", "molkgnn_tpu.cli.entry",
+         "--dataset_name", "CHIRAL1",
+         "--dataset_path", str(tmp_path / "dataset"),
+         "--default_root_dir", str(run_dir), *TINY_KGNN],
+        capture_output=True, text=True, timeout=500, env=_cli_env(),
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    logs = run_dir / "logs"
+    assert (logs / "test_result.log").exists()
+    parsed = parse_test_result(str(logs / "test_result.log"))
+    assert "last" in parsed and "accuracy" in parsed["last"]
+
+
 def test_preprocess_driver(tmp_path):
     """Parallel cache-building driver (C17) over the smoke AID."""
     from molkgnn_tpu.chem.embed import embed_molecule
