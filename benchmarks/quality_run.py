@@ -172,7 +172,8 @@ def _build_enantiomer_sdfs(raw):
     )
 
 
-def run_task(task, build_sdfs, model_args=None, config_note=None):
+def run_task(task, build_sdfs, model_args=None, config_note=None,
+             max_epochs=20):
     out = {
         "box": "2-core x86 (dev container), jax-CPU backend",
         "records": N_ACTIVE + N_INACTIVE,
@@ -201,16 +202,15 @@ def run_task(task, build_sdfs, model_args=None, config_note=None):
             "--dataset_name", "1798",
             "--dataset_path", os.path.join(base, "dataset"),
             "--default_root_dir", run_dir,
-            "--hidden_dim", "32",
-            "--batch_size", "32", "--max_epochs", "20",
+            "--batch_size", "32", "--max_epochs", str(max_epochs),
             "--warmup_iterations", "300",
             "--enable_oversampling_with_replacement", "--device_sampling",
             "--scan_steps", "16",
         ]
         + (
             model_args
-            or ["--num_layers", "4", "--dropout_ratio", "0.2",
-                "--peak_lr", "5e-3"]
+            or ["--hidden_dim", "32", "--num_layers", "4",
+                "--dropout_ratio", "0.2", "--peak_lr", "5e-3"]
         ),
         env=env, capture_output=True, text=True, timeout=13000,
     )
@@ -246,7 +246,7 @@ def run_task(task, build_sdfs, model_args=None, config_note=None):
 
 
 ENANT_ARGS = [
-    "--num_layers", "1", "--dropout_ratio", "0.0",
+    "--hidden_dim", "32", "--num_layers", "1", "--dropout_ratio", "0.0",
     "--ffn_dropout_rate", "0.0", "--peak_lr", "1e-2",
 ]
 ENANT_NOTE = (
@@ -256,10 +256,48 @@ ENANT_NOTE = (
     "space (Supplement Table 2)"
 )
 
+# Cross-family scientific comparison on the SAME enantiomer dataset (the
+# reference's core claim is chirality-awareness vs 3D baselines,
+# README.md:4): ChIRoNet is chirality-aware (geometry-derived R/S node
+# tags + torsion phase encoders — how the reference's ChIRo gets its
+# signal too) and must separate the mirror pairs; SchNet is E(3)-invariant
+# over interatomic distances, which mirroring preserves exactly, so its
+# AUC must stay at the 0.5 coin-flip — a null CONTROL proving the
+# separation above is chirality, not leakage. Short epoch budgets: the
+# chironet signal is feature-visible (saturates early) and the schnet
+# null does not move with more epochs.
+CHIRONET_ARGS = [
+    "--gnn_type", "chironet", "--F_H", "32", "--F_H_EConv", "32",
+    "--GAT_N_heads", "2", "--dropout", "0.0",
+    "--ffn_dropout_rate", "0.0", "--peak_lr", "1e-3",
+]
+CHIRONET_NOTE = (
+    "ChIRoNet F_H 32, 2 GAT heads, no dropout, peak 1e-3, "
+    "b32+oversampling, 6 epochs — chirality-aware baseline, expected to "
+    "separate enantiomers (geometry-derived R/S tags + torsion encoders)"
+)
+SCHNET_ARGS = [
+    "--gnn_type", "schnet", "--num_layers", "3",
+    "--hidden_channels", "32", "--num_filters", "32",
+    "--num_gaussians", "25", "--out_channels", "16",
+    "--ffn_dropout_rate", "0.0", "--peak_lr", "1e-3",
+]
+SCHNET_NOTE = (
+    "SchNet 3 layers, hidden 32, peak 1e-3, b32+oversampling, 6 epochs — "
+    "E(3)-invariant null control: mirror pairs have identical distance "
+    "sets, so AUC must stay ~0.5"
+)
+
 
 TASKS = {
-    "scaffold": (_build_scaffold_sdfs, None, None),
-    "enantiomer": (_build_enantiomer_sdfs, ENANT_ARGS, ENANT_NOTE),
+    "scaffold": (_build_scaffold_sdfs, None, None, 20),
+    "enantiomer": (_build_enantiomer_sdfs, ENANT_ARGS, ENANT_NOTE, 20),
+    "enantiomer_chironet": (
+        _build_enantiomer_sdfs, CHIRONET_ARGS, CHIRONET_NOTE, 6
+    ),
+    "enantiomer_schnet": (
+        _build_enantiomer_sdfs, SCHNET_ARGS, SCHNET_NOTE, 6
+    ),
 }
 
 
@@ -268,11 +306,11 @@ def main(only=None):
     if os.path.exists(os.path.join(HERE, "QUALITY_RUN.json")):
         with open(os.path.join(HERE, "QUALITY_RUN.json")) as f:
             results = json.load(f)
-    for task, (builder, margs, note) in TASKS.items():
+    for task, (builder, margs, note, epochs) in TASKS.items():
         if only and task != only:
             continue
         print(f"=== task {task}", flush=True)
-        results[task] = run_task(task, builder, margs, note)
+        results[task] = run_task(task, builder, margs, note, epochs)
         print(json.dumps(results[task], indent=2), flush=True)
     with open(os.path.join(HERE, "QUALITY_RUN.json"), "w") as f:
         json.dump(results, f, indent=2)
