@@ -289,6 +289,44 @@ SCHNET_NOTE = (
 )
 
 
+# SphereNet is the geometry-only positive: its torsion channel (the one
+# the 3DGN trio's other two lack) sees phi -> -phi under mirror, with NO
+# R/S tags in its input (z+pos only) — the hardest legitimate path to
+# the label. DimeNet++ is the second null: distances AND angles are both
+# mirror-invariant, so its entire basis carries zero class signal.
+SPHERENET_ARGS = [
+    "--gnn_type", "spherenet", "--cutoff", "5.0", "--num_layers", "2",
+    "--hidden_channels", "32", "--out_channels", "16",
+    "--int_emb_size", "16", "--basis_emb_size_dist", "8",
+    "--basis_emb_size_angle", "8", "--basis_emb_size_torsion", "8",
+    "--out_emb_channels", "32", "--num_spherical", "3",
+    "--num_radial", "4", "--num_before_skip", "1",
+    "--num_after_skip", "1", "--num_output_layers", "1",
+    "--ffn_dropout_rate", "0.0", "--peak_lr", "2e-3",
+]
+SPHERENET_NOTE = (
+    "SphereNet 2 layers, hidden 32, sph 3 / rad 4, peak 2e-3, "
+    "b32+oversampling, 12 epochs — geometry-only positive: only the "
+    "torsion channel (phi -> -phi under mirror) can separate; no R/S "
+    "tags in its z+pos input"
+)
+DIMENET_ARGS = [
+    "--gnn_type", "dimenet_pp", "--cutoff", "5.0", "--num_blocks", "2",
+    "--hidden_channels", "32", "--out_channels", "16",
+    "--int_emb_size", "16", "--basis_emb_size", "8",
+    "--out_emb_channels", "32", "--num_spherical", "3",
+    "--num_radial", "4", "--num_before_skip", "1",
+    "--num_after_skip", "1", "--num_output_layers", "1",
+    "--ffn_dropout_rate", "0.0", "--peak_lr", "1e-3",
+]
+DIMENET_NOTE = (
+    "DimeNet++ 2 blocks, hidden 32, sph 3 / rad 4, peak 1e-3, "
+    "b32+oversampling, 6 epochs — second null control: distances and "
+    "angles are both mirror-invariant, the full basis carries zero "
+    "class signal"
+)
+
+
 TASKS = {
     "scaffold": (_build_scaffold_sdfs, None, None, 20),
     "enantiomer": (_build_enantiomer_sdfs, ENANT_ARGS, ENANT_NOTE, 20),
@@ -297,6 +335,12 @@ TASKS = {
     ),
     "enantiomer_schnet": (
         _build_enantiomer_sdfs, SCHNET_ARGS, SCHNET_NOTE, 6
+    ),
+    "enantiomer_spherenet": (
+        _build_enantiomer_sdfs, SPHERENET_ARGS, SPHERENET_NOTE, 12
+    ),
+    "enantiomer_dimenet_pp": (
+        _build_enantiomer_sdfs, DIMENET_ARGS, DIMENET_NOTE, 6
     ),
 }
 
