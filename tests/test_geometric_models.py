@@ -215,3 +215,61 @@ def test_spherenet_forward_rotation_invariance_and_padding():
     np.testing.assert_allclose(
         np.asarray(out), np.asarray(out_r), rtol=2e-3, atol=2e-3
     )
+
+
+def test_mirror_invariance_contract_across_families(point_setup):
+    """The chirality contract of the 3DGN trio, as a bitwise property
+    (r5; discovered forensically in the AID-scale enantiomer quality runs,
+    QUALITY.md): SchNet (distances) and DimeNet++ (distances + angles)
+    must be EXACTLY mirror-invariant — reflection negates one coordinate,
+    which every squared-difference and |cross| path absorbs bit-for-bit —
+    while SphereNet's torsion channel (phi -> -phi under mirror) must NOT
+    be. A regression here either leaks handedness into the invariant
+    models (their enantiomer null results become leakage) or kills the
+    one channel through which SphereNet can see it."""
+    import dataclasses
+
+    ds, spec, batch = point_setup
+    mirrored = dataclasses.replace(
+        batch, pos=batch.pos * jnp.array([-1.0, 1.0, 1.0])
+    )
+
+    schnet = SchNet(cutoff=4.0, num_layers=2, hidden_channels=16,
+                    num_filters=16, out_channels=4)
+    v = schnet.init(jax.random.key(0), batch)
+    f = jax.jit(lambda v, b: schnet.apply(v, b))
+    np.testing.assert_array_equal(
+        np.asarray(f(v, batch)), np.asarray(f(v, mirrored))
+    )
+
+    dime = DimeNetPP(
+        hidden_channels=16, out_channels=4, num_blocks=1, int_emb_size=8,
+        basis_emb_size=4, out_emb_channels=16, num_spherical=4,
+        num_radial=4, cutoff=4.0,
+    )
+    v = dime.init(jax.random.key(1), batch)
+    f = jax.jit(lambda v, b: dime.apply(v, b))
+    np.testing.assert_array_equal(
+        np.asarray(f(v, batch)), np.asarray(f(v, mirrored))
+    )
+
+    from molkgnn_tpu.models.spherenet import SphereNet
+
+    ds2 = make_synthetic_dataset(seed=7, num_graphs=8)
+    spec2 = point_spec_for_graphs(
+        ds2.graphs, batch_size=3, cutoff=3.5, with_torsion=True
+    )
+    b3 = batch_points(ds2.graphs[:3], spec2)
+    m3 = dataclasses.replace(b3, pos=b3.pos * jnp.array([-1.0, 1.0, 1.0]))
+    sphere = SphereNet(
+        cutoff=3.5, num_layers=1, hidden_channels=16, out_channels=4,
+        int_emb_size=8, basis_emb_size_dist=4, basis_emb_size_angle=4,
+        basis_emb_size_torsion=4, out_emb_channels=16, num_spherical=3,
+        num_radial=3, num_output_layers=1,
+    )
+    v = sphere.init(jax.random.key(2), b3)
+    f = jax.jit(lambda v, b: sphere.apply(v, b))
+    a, b = np.asarray(f(v, b3)), np.asarray(f(v, m3))
+    assert np.abs(a - b).max() > 1e-6, (
+        "SphereNet's torsion channel no longer sees handedness"
+    )
